@@ -84,6 +84,23 @@ class RankClassifier:
         return cls(params, spec, names, compute_dtype, max_batch)
 
     @classmethod
+    def from_npz(cls, path: str, compute_dtype=jnp.float32, fold: bool = True) -> "RankClassifier":
+        """Load a native checkpoint written by the TPU trainer."""
+        from manual_yolo_tpu.core.serialization import load_params
+
+        params, meta = load_params(path)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        sp = meta.get("spec", {})
+        spec = yolov8.build_spec(
+            sp.get("variant", "classify"), sp.get("scale", "n"), int(sp.get("nc", 13))
+        )
+        if fold:
+            params = yolov8.fold_params(params, spec)
+        names = {int(k): v for k, v in meta.get("names", {}).items()}
+        return cls(params, spec, names or {i: n for i, n in enumerate(RANK_NAMES_13)},
+                   compute_dtype)
+
+    @classmethod
     def random_init(cls, key, scale: str = "n", nc: int = 13) -> "RankClassifier":
         spec = yolov8.build_spec("classify", scale, nc)
         params = yolov8.init_params(key, spec)

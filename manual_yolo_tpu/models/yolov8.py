@@ -392,13 +392,42 @@ def _conv2d(x, w, stride=1, groups=1, compute_dtype=jnp.float32):
     )
 
 
-def conv_block(p, x, stride=1, act=True, compute_dtype=jnp.float32, train=False):
-    """Conv + (BN|bias) + SiLU. Returns f32 activations."""
+class BNCtx:
+    """Collects batch-norm batch statistics during a train-mode forward.
+
+    Updates are keyed by the conv block's path string (stable across jit /
+    grad retracing); ``apply_bn_updates`` splices them back into the params
+    pytree using the same path scheme.
+    """
+
+    def __init__(self, momentum: float = BN_MOMENTUM):
+        self.momentum = momentum
+        self.updates: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+
+
+def conv_block(p, x, stride=1, act=True, compute_dtype=jnp.float32, bn_ctx=None, path=""):
+    """Conv + (BN|bias) + SiLU. Returns f32 activations.
+
+    With ``bn_ctx`` set, BN uses batch statistics (train mode) and records
+    updated running stats into the context under ``path``.
+    """
     y = _conv2d(x, p["w"], stride, compute_dtype=compute_dtype)
     if "bn" in p:
         bn = p["bn"]
-        inv = jax.lax.rsqrt(bn["var"] + BN_EPS)
-        y = (y - bn["mean"]) * (bn["gamma"] * inv) + bn["beta"]
+        if bn_ctx is not None:
+            mean = jnp.mean(y, axis=(0, 1, 2))
+            var = jnp.var(y, axis=(0, 1, 2))
+            m = bn_ctx.momentum
+            n = y.shape[0] * y.shape[1] * y.shape[2]
+            unbiased = var * n / max(n - 1, 1)
+            bn_ctx.updates[path] = (
+                jax.lax.stop_gradient((1 - m) * bn["mean"] + m * mean),
+                jax.lax.stop_gradient((1 - m) * bn["var"] + m * unbiased),
+            )
+        else:
+            mean, var = bn["mean"], bn["var"]
+        inv = jax.lax.rsqrt(var + BN_EPS)
+        y = (y - mean) * (bn["gamma"] * inv) + bn["beta"]
     elif "b" in p:
         y = y + p["b"]
     if act:
@@ -406,23 +435,49 @@ def conv_block(p, x, stride=1, act=True, compute_dtype=jnp.float32, train=False)
     return y
 
 
-def _bottleneck(p, x, shortcut, compute_dtype):
-    y = conv_block(p["cv1"], x, compute_dtype=compute_dtype)
-    y = conv_block(p["cv2"], y, compute_dtype=compute_dtype)
+def apply_bn_updates(params, updates: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]):
+    """Splice BNCtx-collected running stats back into a params pytree."""
+    consumed = set()
+
+    def rec(p, path):
+        if isinstance(p, dict):
+            if "w" in p and "bn" in p and path in updates:
+                consumed.add(path)
+                mean, var = updates[path]
+                return dict(p, bn=dict(p["bn"], mean=mean, var=var))
+            return {k: rec(v, f"{path}.{k}" if path else k) for k, v in p.items()}
+        if isinstance(p, list):
+            return [rec(v, f"{path}.{i}") for i, v in enumerate(p)]
+        return p
+
+    out = [rec(p, str(i)) for i, p in enumerate(params)]
+    missing = set(updates) - consumed
+    assert not missing, f"unconsumed BN updates: {sorted(missing)[:5]}"
+    return out
+
+
+def _bottleneck(p, x, shortcut, compute_dtype, bn_ctx=None, path=""):
+    y = conv_block(p["cv1"], x, compute_dtype=compute_dtype, bn_ctx=bn_ctx, path=f"{path}.cv1")
+    y = conv_block(p["cv2"], y, compute_dtype=compute_dtype, bn_ctx=bn_ctx, path=f"{path}.cv2")
     return x + y if shortcut else y
 
 
-def c2f_block(p, x, n, shortcut, compute_dtype=jnp.float32):
-    y = conv_block(p["cv1"], x, compute_dtype=compute_dtype)
+def c2f_block(p, x, n, shortcut, compute_dtype=jnp.float32, bn_ctx=None, path=""):
+    y = conv_block(p["cv1"], x, compute_dtype=compute_dtype, bn_ctx=bn_ctx, path=f"{path}.cv1")
     c = y.shape[-1] // 2
     parts = [y[..., :c], y[..., c:]]
     for i in range(n):
-        parts.append(_bottleneck(p["m"][i], parts[-1], shortcut, compute_dtype))
-    return conv_block(p["cv2"], jnp.concatenate(parts, axis=-1), compute_dtype=compute_dtype)
+        parts.append(
+            _bottleneck(p["m"][i], parts[-1], shortcut, compute_dtype, bn_ctx, f"{path}.m.{i}")
+        )
+    return conv_block(
+        p["cv2"], jnp.concatenate(parts, axis=-1), compute_dtype=compute_dtype,
+        bn_ctx=bn_ctx, path=f"{path}.cv2",
+    )
 
 
-def sppf_block(p, x, k=5, compute_dtype=jnp.float32):
-    y = conv_block(p["cv1"], x, compute_dtype=compute_dtype)
+def sppf_block(p, x, k=5, compute_dtype=jnp.float32, bn_ctx=None, path=""):
+    y = conv_block(p["cv1"], x, compute_dtype=compute_dtype, bn_ctx=bn_ctx, path=f"{path}.cv1")
 
     def pool(v):
         return jax.lax.reduce_window(
@@ -438,7 +493,8 @@ def sppf_block(p, x, k=5, compute_dtype=jnp.float32):
     p2 = pool(p1)
     p3 = pool(p2)
     return conv_block(
-        p["cv2"], jnp.concatenate([y, p1, p2, p3], axis=-1), compute_dtype=compute_dtype
+        p["cv2"], jnp.concatenate([y, p1, p2, p3], axis=-1), compute_dtype=compute_dtype,
+        bn_ctx=bn_ctx, path=f"{path}.cv2",
     )
 
 
@@ -447,8 +503,8 @@ def _upsample2x(x):
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
 
-def classify_head(p, x, compute_dtype=jnp.float32):
-    y = conv_block(p["conv"], x, compute_dtype=compute_dtype)
+def classify_head(p, x, compute_dtype=jnp.float32, bn_ctx=None, path=""):
+    y = conv_block(p["conv"], x, compute_dtype=compute_dtype, bn_ctx=bn_ctx, path=f"{path}.conv")
     y = jnp.mean(y, axis=(1, 2))  # global average pool
     logits = (
         jnp.dot(y.astype(compute_dtype), p["linear"]["w"].astype(compute_dtype),
@@ -458,26 +514,29 @@ def classify_head(p, x, compute_dtype=jnp.float32):
     return logits
 
 
-def _detect_branch(branch, x, compute_dtype):
-    y = conv_block(branch["0"], x, compute_dtype=compute_dtype)
-    y = conv_block(branch["1"], y, compute_dtype=compute_dtype)
-    return conv_block(branch["2"], y, act=False, compute_dtype=compute_dtype)
+def _detect_branch(branch, x, compute_dtype, bn_ctx=None, path=""):
+    y = conv_block(branch["0"], x, compute_dtype=compute_dtype, bn_ctx=bn_ctx, path=f"{path}.0")
+    y = conv_block(branch["1"], y, compute_dtype=compute_dtype, bn_ctx=bn_ctx, path=f"{path}.1")
+    return conv_block(branch["2"], y, act=False, compute_dtype=compute_dtype,
+                      bn_ctx=bn_ctx, path=f"{path}.2")
 
 
 def forward_features(
-    params, spec: ModelSpec, x, compute_dtype=jnp.float32
+    params, spec: ModelSpec, x, compute_dtype=jnp.float32, bn_ctx=None
 ) -> List[jnp.ndarray]:
     """Run the graph up to (but not including) the final head; returns saved feats."""
     feats: List[Optional[jnp.ndarray]] = []
     y = x
     for idx, layer in enumerate(spec.layers):
         p = params[idx]
+        path = str(idx)
         if layer.kind == "conv":
-            y = conv_block(p, y, stride=layer.s, compute_dtype=compute_dtype)
+            y = conv_block(p, y, stride=layer.s, compute_dtype=compute_dtype,
+                           bn_ctx=bn_ctx, path=path)
         elif layer.kind == "c2f":
-            y = c2f_block(p, y, layer.n, layer.shortcut, compute_dtype)
+            y = c2f_block(p, y, layer.n, layer.shortcut, compute_dtype, bn_ctx, path)
         elif layer.kind == "sppf":
-            y = sppf_block(p, y, layer.k, compute_dtype)
+            y = sppf_block(p, y, layer.k, compute_dtype, bn_ctx, path)
         elif layer.kind == "upsample":
             y = _upsample2x(y)
         elif layer.kind == "concat":
@@ -489,23 +548,25 @@ def forward_features(
     return feats
 
 
-def forward_classify(params, spec: ModelSpec, x, compute_dtype=jnp.float32):
+def forward_classify(params, spec: ModelSpec, x, compute_dtype=jnp.float32, bn_ctx=None):
     """x: (N, H, W, 3) float in [0,1] RGB -> logits (N, nc)."""
-    feats = forward_features(params, spec, x, compute_dtype)
-    return classify_head(params[len(spec.layers) - 1], feats[-1], compute_dtype)
+    feats = forward_features(params, spec, x, compute_dtype, bn_ctx)
+    head_idx = len(spec.layers) - 1
+    return classify_head(params[head_idx], feats[-1], compute_dtype, bn_ctx, str(head_idx))
 
 
 def forward_detect_raw(
-    params, spec: ModelSpec, x, compute_dtype=jnp.float32
+    params, spec: ModelSpec, x, compute_dtype=jnp.float32, bn_ctx=None
 ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
     """x: (N, H, W, 3) -> per-level (box_dist (N,h,w,64), cls_logit (N,h,w,nc))."""
-    feats = forward_features(params, spec, x, compute_dtype)
-    det = params[len(spec.layers) - 1]
+    feats = forward_features(params, spec, x, compute_dtype, bn_ctx)
+    head_idx = len(spec.layers) - 1
+    det = params[head_idx]
     out = []
     for i, src in enumerate(spec.layers[-1].src):
         f = feats[src]
-        box = _detect_branch(det["box"][i], f, compute_dtype)
-        cls = _detect_branch(det["cls"][i], f, compute_dtype)
+        box = _detect_branch(det["box"][i], f, compute_dtype, bn_ctx, f"{head_idx}.box.{i}")
+        cls = _detect_branch(det["cls"][i], f, compute_dtype, bn_ctx, f"{head_idx}.cls.{i}")
         out.append((box, cls))
     return out
 

@@ -1,0 +1,191 @@
+"""YOLOv8 detection loss: task-aligned assignment + CIoU + DFL + BCE.
+
+The reference trains its detector through ultralytics' vendored trainer
+(SURVEY.md §2b "Ultralytics train loop"); this is the TPU-native equivalent:
+fully batched, fixed-shape, jit/grad-compatible. Semantics follow the
+published YOLOv8 recipe — TaskAlignedAssigner (topk 10, alpha 0.5, beta 6),
+CIoU box loss, distribution-focal loss over 16 bins, BCE classification —
+with loss gains box 7.5 / cls 0.5 / dfl 1.5 (the recorded hyperparameters in
+the reference's ``runs/rank_classifier/args.yaml:63-65`` are the same
+ultralytics defaults).
+
+Everything is dense masked math: no dynamic shapes, no host sync, maps onto
+MXU (pairwise IoU matrices, one-hot matmuls) and VPU (elementwise) cleanly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from manual_yolo_tpu.models import yolov8
+from manual_yolo_tpu.ops.boxes import elementwise_ciou, pairwise_ciou
+
+TAL_TOPK = 10
+TAL_ALPHA = 0.5
+TAL_BETA = 6.0
+EPS = 1e-9
+
+
+class AssignOut(NamedTuple):
+    target_scores: jnp.ndarray  # (A, nc)
+    target_boxes: jnp.ndarray  # (A, 4) canvas pixels
+    fg_mask: jnp.ndarray  # (A,) bool
+
+
+def assign_one(
+    scores_sig: jnp.ndarray,  # (A, nc) sigmoid scores (detached)
+    pred_boxes: jnp.ndarray,  # (A, 4) xyxy pixels (detached)
+    anchor_px: jnp.ndarray,  # (A, 2) anchor centers in pixels
+    gt_cls: jnp.ndarray,  # (M,) int32
+    gt_boxes: jnp.ndarray,  # (M, 4) xyxy pixels
+    gt_mask: jnp.ndarray,  # (M,) bool
+    nc: int,
+) -> AssignOut:
+    A = scores_sig.shape[0]
+    M = gt_boxes.shape[0]
+
+    # candidate anchors: center strictly inside the gt box
+    deltas = jnp.concatenate(
+        [anchor_px[:, None, :] - gt_boxes[None, :, :2],
+         gt_boxes[None, :, 2:] - anchor_px[:, None, :]],
+        axis=-1,
+    )  # (A, M, 4)
+    in_gts = jnp.min(deltas, axis=-1) > EPS  # (A, M)
+
+    overlaps = jnp.clip(pairwise_ciou(pred_boxes, gt_boxes), 0.0)  # (A, M)
+    cls_score = jnp.take_along_axis(
+        scores_sig, jnp.broadcast_to(gt_cls[None, :], (A, M)), axis=1
+    )  # (A, M): score of each anchor for each gt's class
+    align = (cls_score**TAL_ALPHA) * (overlaps**TAL_BETA)
+
+    candidate = in_gts & gt_mask[None, :]
+    align_c = jnp.where(candidate, align, 0.0)
+
+    # top-k anchors per gt
+    k = min(TAL_TOPK, A)
+    top_vals, top_idx = jax.lax.top_k(align_c.T, k)  # (M, k)
+    is_topk = jnp.zeros((M, A), bool)
+    rows = jnp.broadcast_to(jnp.arange(M)[:, None], (M, k))
+    is_topk = is_topk.at[rows, top_idx].set(top_vals > EPS)
+    mask_pos = is_topk.T & candidate  # (A, M)
+
+    # resolve anchors claimed by multiple gts: keep the highest-overlap gt
+    multi = jnp.sum(mask_pos, axis=1, keepdims=True) > 1
+    best_overlap_gt = jnp.argmax(jnp.where(mask_pos, overlaps, -1.0), axis=1)
+    only_best = jax.nn.one_hot(best_overlap_gt, M, dtype=bool)
+    mask_pos = jnp.where(multi, mask_pos & only_best, mask_pos)
+
+    fg = jnp.any(mask_pos, axis=1)  # (A,)
+    assigned = jnp.argmax(mask_pos, axis=1)  # (A,)
+
+    # normalised target scores (ultralytics-style)
+    align_m = jnp.where(mask_pos, align, 0.0)
+    overlaps_m = jnp.where(mask_pos, overlaps, 0.0)
+    pos_align = jnp.max(align_m, axis=0)  # (M,)
+    pos_overlap = jnp.max(overlaps_m, axis=0)  # (M,)
+    norm = align_m * (pos_overlap / (pos_align + EPS))[None, :]  # (A, M)
+    score_at_assigned = jnp.take_along_axis(norm, assigned[:, None], axis=1)[:, 0]
+
+    tgt_cls = gt_cls[assigned]
+    onehot = jax.nn.one_hot(tgt_cls, nc, dtype=jnp.float32)
+    target_scores = onehot * jnp.where(fg, score_at_assigned, 0.0)[:, None]
+    target_boxes = gt_boxes[assigned]
+    return AssignOut(target_scores, target_boxes, fg)
+
+
+def detection_loss(
+    params,
+    spec: yolov8.ModelSpec,
+    images: jnp.ndarray,  # (B, H, W, 3) [0,1] RGB
+    targets: jnp.ndarray,  # (B, M, 5) [cls, x1, y1, x2, y2] canvas px
+    tmask: jnp.ndarray,  # (B, M) bool
+    compute_dtype=jnp.float32,
+    bn_ctx=None,
+    box_gain: float = 7.5,
+    cls_gain: float = 0.5,
+    dfl_gain: float = 1.5,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    H, W = images.shape[1:3]
+    nc = spec.nc
+    raw = yolov8.forward_detect_raw(params, spec, images, compute_dtype, bn_ctx)
+
+    dists, logits = [], []
+    for (box, cls) in raw:
+        b, h, w, _ = box.shape
+        dists.append(box.reshape(b, h * w, 4 * yolov8.REG_MAX))
+        logits.append(cls.reshape(b, h * w, nc))
+    pred_dist = jnp.concatenate(dists, axis=1)  # (B, A, 64)
+    pred_logits = jnp.concatenate(logits, axis=1)  # (B, A, nc)
+
+    anchors_np, astride_np = yolov8.make_anchors((H, W), spec.strides)
+    anchors = jnp.asarray(anchors_np)  # (A, 2) stride units
+    astride = jnp.asarray(astride_np)  # (A, 1)
+    anchor_px = anchors * astride
+
+    # decoded boxes in pixels (used both for assignment and box loss)
+    ltrb = yolov8.dfl_decode(pred_dist)  # (B, A, 4) stride units
+    x1y1 = (anchors[None] - ltrb[..., :2]) * astride[None]
+    x2y2 = (anchors[None] + ltrb[..., 2:]) * astride[None]
+    pred_boxes = jnp.concatenate([x1y1, x2y2], axis=-1)
+
+    assign = jax.vmap(
+        lambda s, b, c, g, m: assign_one(s, b, anchor_px, c, g, m, nc)
+    )(
+        jax.lax.stop_gradient(jax.nn.sigmoid(pred_logits)),
+        jax.lax.stop_gradient(pred_boxes),
+        targets[..., 0].astype(jnp.int32),
+        targets[..., 1:5],
+        tmask,
+    )
+    target_scores, target_boxes, fg = assign
+
+    ts_sum = jnp.maximum(jnp.sum(target_scores), 1.0)
+
+    # classification: BCE with soft targets over ALL anchors
+    bce = (
+        jnp.maximum(pred_logits, 0)
+        - pred_logits * target_scores
+        + jnp.log1p(jnp.exp(-jnp.abs(pred_logits)))
+    )
+    loss_cls = jnp.sum(bce) / ts_sum
+
+    # box: CIoU on foreground, weighted by assigned target score
+    weight = jnp.sum(target_scores, axis=-1)  # (B, A)
+    iou = elementwise_ciou(pred_boxes, target_boxes)  # (B, A)
+    loss_box = jnp.sum(jnp.where(fg, (1.0 - iou) * weight, 0.0)) / ts_sum
+
+    # DFL on foreground
+    tgt_ltrb = jnp.concatenate(
+        [
+            anchor_px[None] - target_boxes[..., :2],
+            target_boxes[..., 2:] - anchor_px[None],
+        ],
+        axis=-1,
+    ) / astride[None]
+    tgt_ltrb = jnp.clip(tgt_ltrb, 0.0, yolov8.REG_MAX - 1 - 0.01)
+    tl = jnp.floor(tgt_ltrb)
+    wr = tgt_ltrb - tl
+    wl = 1.0 - wr
+    logp = jax.nn.log_softmax(
+        pred_dist.reshape(pred_dist.shape[:-1] + (4, yolov8.REG_MAX)), axis=-1
+    )
+    tl_i = tl.astype(jnp.int32)
+    tr_i = jnp.minimum(tl_i + 1, yolov8.REG_MAX - 1)
+    ce = -(
+        jnp.take_along_axis(logp, tl_i[..., None], axis=-1)[..., 0] * wl
+        + jnp.take_along_axis(logp, tr_i[..., None], axis=-1)[..., 0] * wr
+    )  # (B, A, 4)
+    dfl = jnp.mean(ce, axis=-1)  # (B, A)
+    loss_dfl = jnp.sum(jnp.where(fg, dfl * weight, 0.0)) / ts_sum
+
+    total = box_gain * loss_box + cls_gain * loss_cls + dfl_gain * loss_dfl
+    aux = {
+        "box": loss_box,
+        "cls": loss_cls,
+        "dfl": loss_dfl,
+        "num_fg": jnp.sum(fg.astype(jnp.int32)),
+    }
+    return total, aux

@@ -1,0 +1,94 @@
+"""Tracker tests: ByteTrack id persistence, DeepSORT lifecycle params."""
+
+import numpy as np
+import pytest
+
+from manual_yolo_tpu.track.bytetrack import ByteTrack
+from manual_yolo_tpu.track.deepsort import DeepSortTracker
+from manual_yolo_tpu.track.kalman import (
+    KalmanBoxFilter,
+    cxcyah_to_xyxy,
+    xyxy_to_cxcyah,
+)
+
+
+def _det(x1, y1, x2, y2, conf=0.9, cid=0):
+    return {"x1": x1, "y1": y1, "x2": x2, "y2": y2, "conf": conf, "class_id": cid,
+            "class_name": f"c{cid}"}
+
+
+def test_kalman_roundtrip():
+    kf = KalmanBoxFilter()
+    box = np.array([10, 20, 50, 80], float)
+    mean, cov = kf.initiate(xyxy_to_cxcyah(box))
+    np.testing.assert_allclose(cxcyah_to_xyxy(mean), box, atol=1e-6)
+    mean, cov = kf.predict(mean, cov)
+    mean, cov = kf.update(mean, cov, xyxy_to_cxcyah(box))
+    np.testing.assert_allclose(cxcyah_to_xyxy(mean), box, atol=1.0)
+
+
+def test_bytetrack_persistent_ids():
+    tr = ByteTrack()
+    out1 = tr.update([_det(10, 10, 50, 50), _det(200, 200, 260, 280)])
+    ids1 = sorted(d["tracker_id"] for d in out1)
+    assert ids1 == [1, 2]
+    # move boxes slightly -> same ids
+    out2 = tr.update([_det(12, 11, 52, 51), _det(203, 202, 263, 282)])
+    assert {d["tracker_id"] for d in out2} == {1, 2}
+    # id follows the object, not the order
+    out3 = tr.update([_det(205, 204, 265, 284), _det(14, 12, 54, 52)])
+    by_pos = {d["x1"]: d["tracker_id"] for d in out3}
+    assert by_pos[14] == out2[0]["tracker_id"]
+    assert by_pos[205] == out2[1]["tracker_id"]
+
+
+def test_bytetrack_low_conf_second_stage():
+    tr = ByteTrack()
+    out1 = tr.update([_det(10, 10, 50, 50, conf=0.9)])
+    tid = out1[0]["tracker_id"]
+    # drop to low confidence: still matched to the same track in stage 2
+    out2 = tr.update([_det(11, 11, 51, 51, conf=0.2)])
+    assert out2[0]["tracker_id"] == tid
+    # but a NEW low-conf detection does not create a track
+    out3 = tr.update([_det(400, 400, 450, 450, conf=0.2), _det(12, 12, 52, 52, conf=0.9)])
+    new = [d for d in out3 if d["x1"] == 400][0]
+    assert new["tracker_id"] == -1
+
+
+def test_bytetrack_lost_track_recovery():
+    tr = ByteTrack(lost_track_buffer=5)
+    out1 = tr.update([_det(10, 10, 50, 50)])
+    tid = out1[0]["tracker_id"]
+    for _ in range(3):  # disappear for 3 frames
+        tr.update([])
+    out2 = tr.update([_det(10, 10, 50, 50)])
+    assert out2[0]["tracker_id"] == tid
+    # beyond the buffer the id is gone
+    for _ in range(10):
+        tr.update([])
+    out3 = tr.update([_det(10, 10, 50, 50)])
+    assert out3[0]["tracker_id"] != tid
+
+
+def test_deepsort_confirm_and_age():
+    tr = DeepSortTracker(max_age=2, n_init=1)
+    tracks = tr.update_tracks([([10, 10, 50, 50], 0.9, "button_fold")])
+    assert len(tracks) == 1 and tracks[0].det_class == "button_fold"
+    tid = tracks[0].track_id
+    t2 = tr.update_tracks([([12, 11, 52, 51], 0.8, "button_fold")])
+    assert t2[0].track_id == tid
+    # miss > max_age frames -> dropped
+    for _ in range(4):
+        tr.update_tracks([])
+    t3 = tr.update_tracks([([10, 10, 50, 50], 0.9, "button_fold")])
+    assert t3[0].track_id != tid
+
+
+def test_deepsort_class_votes_surface():
+    """Track carries det_class so pipe-level majority voting can work."""
+    tr = DeepSortTracker()
+    tr.update_tracks([([0, 0, 20, 20], 0.9, "button_call")])
+    t = tr.update_tracks([([1, 1, 21, 21], 0.9, "button_check")])
+    assert t[0].det_class == "button_check"
+    assert callable(t[0].to_ltrb)
+    assert t[0].is_confirmed()
