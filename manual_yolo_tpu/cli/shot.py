@@ -1,0 +1,53 @@
+"""Single-screenshot CLI — equivalent of running reference ``yolo.py``.
+
+Usage:
+  python -m manual_yolo_tpu.cli.shot --image test_screenshot.png \
+      --detector weights/poker_detector.npz \
+      --classifier weights/rank_classifier_scratch.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Poker single-screenshot detector")
+    ap.add_argument("--image", required=True, help="input screenshot path")
+    ap.add_argument("--output-json", default="poker_result.json")
+    ap.add_argument("--output-image", default="poker_labeled.png")
+    ap.add_argument("--detector", default="weights/poker_detector.npz")
+    ap.add_argument("--classifier", default="weights/rank_classifier_scratch.npz")
+    ap.add_argument("--imgsz", type=int, default=640)
+    ap.add_argument("--conf", type=float, default=0.5)  # yolo.py:773 main uses 0.5
+    ap.add_argument("--iou", type=float, default=0.7)
+    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--no-ocr", action="store_true", help="disable OCR fallback")
+    args = ap.parse_args(argv)
+
+    from manual_yolo_tpu.runtime.shot import load_fused_pipeline, process_screenshot
+
+    pipeline = load_fused_pipeline(
+        args.detector, args.classifier, imgsz=args.imgsz, conf=args.conf,
+        iou=args.iou, compute_dtype=args.dtype,
+    )
+    ocr = None
+    if not args.no_ocr:
+        try:
+            from manual_yolo_tpu.runtime.ocr import default_ocr_engine
+
+            ocr = default_ocr_engine()
+        except Exception:
+            ocr = None
+    result = process_screenshot(
+        pipeline, args.image, args.output_json, args.output_image, ocr=ocr
+    )
+    print(json.dumps(result, indent=2))
+    print(f"saved {args.output_json} and {args.output_image}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,173 @@
+"""CRAFT text detector (region/affinity heatmaps) in pure JAX.
+
+Completes the EasyOCR-replacement inventory (SURVEY.md §2b): EasyOCR =
+CRAFT detector + CRNN recognizer. In this framework the YOLO detector
+already localises every text field, so CRAFT is OPTIONAL — it serves the
+general-OCR path (finding text lines inside arbitrary crops). Architecture
+follows the published CRAFT design (VGG16-BN feature extractor, U-Net-style
+double-conv upsampling to stride 2, 2-channel head: region + affinity);
+weights can be imported from a ``craft_mlt_25k.pth`` checkpoint when one is
+available (none ships with the reference, and this environment has no
+egress), or trained with train-mode BN via the same BNCtx mechanism as the
+YOLO graphs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPS = 1e-5  # torchvision VGG BN default
+
+# VGG16-BN conv plan: (out_channels, pool_before)
+_VGG_PLAN = [
+    (64, False), (64, False),
+    (128, True), (128, False),
+    (256, True), (256, False), (256, False),
+    (512, True), (512, False), (512, False),
+    (512, True), (512, False), (512, False),
+]
+
+
+def _init_conv(key, cin, cout, k=3, with_bn=True):
+    bound = math.sqrt(6.0 / (cin * k * k))
+    p = {"w": jax.random.uniform(key, (k, k, cin, cout), jnp.float32, -bound, bound)}
+    if with_bn:
+        p["bn"] = {
+            "gamma": jnp.ones((cout,)), "beta": jnp.zeros((cout,)),
+            "mean": jnp.zeros((cout,)), "var": jnp.ones((cout,)),
+        }
+    else:
+        p["b"] = jnp.zeros((cout,))
+    return p
+
+
+def init_params(key) -> Dict:
+    ks = iter(jax.random.split(key, 64))
+    vgg = []
+    cin = 3
+    for cout, _ in _VGG_PLAN:
+        vgg.append(_init_conv(next(ks), cin, cout))
+        cin = cout
+    # stride-16 extension (fc6/fc7-style dilated convs)
+    ext = [
+        _init_conv(next(ks), 512, 1024, 3),
+        _init_conv(next(ks), 1024, 1024, 1),
+    ]
+
+    def upconv(cin, cmid, cout):
+        return {
+            "c1": _init_conv(next(ks), cin, cmid, 1),
+            "c2": _init_conv(next(ks), cmid, cout, 3),
+        }
+
+    ups = [
+        upconv(1024 + 512, 512, 256),
+        upconv(256 + 512, 256, 128),
+        upconv(128 + 256, 128, 64),
+        upconv(64 + 128, 64, 32),
+    ]
+    head = [
+        _init_conv(next(ks), 32, 32, 3),
+        _init_conv(next(ks), 32, 32, 3),
+        _init_conv(next(ks), 32, 16, 3),
+        _init_conv(next(ks), 16, 16, 1),
+        _init_conv(next(ks), 16, 2, 1, with_bn=False),
+    ]
+    return {"vgg": vgg, "ext": ext, "ups": ups, "head": head}
+
+
+def _conv(p, x, k_stride=1, dilation=1, act=True, compute_dtype=jnp.float32):
+    k = p["w"].shape[0]
+    pad = ((k - 1) * dilation) // 2
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype), p["w"].astype(compute_dtype),
+        (k_stride, k_stride), ((pad, pad), (pad, pad)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=compute_dtype,
+    )
+    if "bn" in p:
+        bn = p["bn"]
+        y = (y - bn["mean"]) * (bn["gamma"] * jax.lax.rsqrt(bn["var"] + BN_EPS)) + bn["beta"]
+    elif "b" in p:
+        y = y + p["b"]
+    return jax.nn.relu(y) if act else y
+
+
+def _pool(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"
+    )
+
+
+def _resize_to(x, hw):
+    return jax.image.resize(x, (x.shape[0], hw[0], hw[1], x.shape[3]), "bilinear")
+
+
+def forward(params, x, compute_dtype=jnp.float32) -> jnp.ndarray:
+    """x: (N, H, W, 3) RGB [0,1] -> (N, H/2, W/2, 2) region/affinity scores."""
+    feats: List[jnp.ndarray] = []
+    y = x
+    for p, (cout, pool) in zip(params["vgg"], _VGG_PLAN):
+        if pool:
+            feats.append(y)
+            y = _pool(y)
+        y = _conv(p, y, compute_dtype=compute_dtype)
+    feats.append(y)  # stride 8
+    y = _pool(y)  # stride 16
+    y = _conv(params["ext"][0], y, dilation=6, compute_dtype=compute_dtype)
+    y = _conv(params["ext"][1], y, compute_dtype=compute_dtype)
+
+    # U-Net merges with stride 8, 4, 2 features (feats[-1], [-2], [-3], [-4])
+    skips = [feats[-1], feats[-2], feats[-3], feats[-4]]
+    for up, skip in zip(params["ups"], skips):
+        y = _resize_to(y, skip.shape[1:3])
+        y = jnp.concatenate([y, skip], axis=-1)
+        y = _conv(up["c1"], y, compute_dtype=compute_dtype)
+        y = _conv(up["c2"], y, compute_dtype=compute_dtype)
+
+    h = y
+    for i, p in enumerate(params["head"]):
+        h = _conv(p, h, act=(i < len(params["head"]) - 1), compute_dtype=compute_dtype)
+    return h  # (N, H/2, W/2, 2) raw scores
+
+
+def text_regions_from_scores(
+    scores: np.ndarray,
+    text_threshold: float = 0.7,
+    link_threshold: float = 0.4,
+    low_text: float = 0.4,
+) -> List[Tuple[int, int, int, int]]:
+    """Host postprocess: region+affinity heatmaps -> text-line boxes.
+
+    Thresholded union of region/link maps, connected components, per-component
+    bounding boxes in heatmap coordinates (x1, y1, x2, y2) * 2 = image px.
+    """
+    import cv2
+
+    region = scores[..., 0]
+    link = scores[..., 1]
+    binary = ((region > low_text) | (link > link_threshold)).astype(np.uint8)
+    n, labels = cv2.connectedComponents(binary, connectivity=4)
+    out = []
+    for comp in range(1, n):
+        mask = labels == comp
+        if region[mask].max() < text_threshold:
+            continue
+        ys, xs = np.nonzero(mask)
+        out.append((int(xs.min()) * 2, int(ys.min()) * 2,
+                    (int(xs.max()) + 1) * 2, (int(ys.max()) + 1) * 2))
+    return out
+
+
+def load_npz(path: str):
+    """Load CRAFT params from the native npz checkpoint format."""
+    from manual_yolo_tpu.core.serialization import load_params
+
+    params, _meta = load_params(path)
+    return jax.tree_util.tree_map(jnp.asarray, params)

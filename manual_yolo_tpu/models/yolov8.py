@@ -381,6 +381,9 @@ def fold_params(params: List[Any], spec: ModelSpec) -> List[Any]:
 def _conv2d(x, w, stride=1, groups=1, compute_dtype=jnp.float32):
     k = w.shape[0]
     p = k // 2
+    # MXU accumulates bf16 inputs in f32 internally; emitting the compute
+    # dtype keeps forward/backward conv dtypes consistent under grad (the
+    # f32 epilogue comes from the BN/bias add which promotes).
     return jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
@@ -388,7 +391,7 @@ def _conv2d(x, w, stride=1, groups=1, compute_dtype=jnp.float32):
         padding=((p, p), (p, p)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=compute_dtype,
     )
 
 
@@ -508,7 +511,7 @@ def classify_head(p, x, compute_dtype=jnp.float32, bn_ctx=None, path=""):
     y = jnp.mean(y, axis=(1, 2))  # global average pool
     logits = (
         jnp.dot(y.astype(compute_dtype), p["linear"]["w"].astype(compute_dtype),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=compute_dtype)
         + p["linear"]["b"]
     )
     return logits

@@ -46,6 +46,7 @@ def nms(
     pre_nms: int = 512,
     max_det: int = 300,
     class_aware: bool = True,
+    use_pallas: bool = False,
 ) -> Detections:
     """boxes (A,4) xyxy, scores (A,nc) -> fixed-size Detections.
 
@@ -71,16 +72,21 @@ def nms(
     else:
         nms_boxes = top_boxes
 
-    iou = pairwise_iou(nms_boxes, nms_boxes)
-    over = (iou > iou_thres) & ~jnp.eye(k, dtype=bool)
+    if use_pallas:
+        from manual_yolo_tpu.ops.pallas_nms import pallas_nms_keep
 
-    def body(i, kept):
-        # keep i iff valid and no higher-scored kept box overlaps it
-        suppressed = jnp.any(kept & over[:, i])
-        keep_i = top_valid[i] & ~suppressed
-        return kept.at[i].set(keep_i)
+        kept = pallas_nms_keep(nms_boxes, top_valid, iou_thres)
+    else:
+        iou = pairwise_iou(nms_boxes, nms_boxes)
+        over = (iou > iou_thres) & ~jnp.eye(k, dtype=bool)
 
-    kept = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
+        def body(i, kept):
+            # keep i iff valid and no higher-scored kept box overlaps it
+            suppressed = jnp.any(kept & over[:, i])
+            keep_i = top_valid[i] & ~suppressed
+            return kept.at[i].set(keep_i)
+
+        kept = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
 
     out_conf = jnp.where(kept, top_conf, 0.0)
     m = min(max_det, k)

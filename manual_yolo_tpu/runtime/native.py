@@ -1,0 +1,214 @@
+"""ctypes bindings for the native host runtime (native/runtime.cpp).
+
+Compiles on first import with g++ -O3 (cached by source mtime); every
+binding has a pure-Python/numpy fallback so the framework still runs where
+no toolchain exists.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "runtime.cpp")
+_BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
+_SO = os.path.join(_BUILD_DIR, "libmyolo_runtime.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build() -> Optional[str]:
+    if not os.path.exists(_SRC):
+        return None
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-o", _SO, _SRC, "-lpthread",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _SO
+    except Exception:
+        return None
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib if _lib is not False else None
+        so = _build()
+        if so is None:
+            _lib = False
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            _lib = False
+            return None
+        lib.fr_create.restype = ctypes.c_void_p
+        lib.fr_create.argtypes = [ctypes.c_int32, ctypes.c_int64]
+        lib.fr_destroy.argtypes = [ctypes.c_void_p]
+        lib.fr_push.restype = ctypes.c_int64
+        lib.fr_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.fr_pop.restype = ctypes.c_int64
+        lib.fr_pop.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32]
+        lib.fr_dropped.restype = ctypes.c_int64
+        lib.fr_dropped.argtypes = [ctypes.c_void_p]
+        lib.fr_available.restype = ctypes.c_int64
+        lib.fr_available.argtypes = [ctypes.c_void_p]
+        lib.jl_open.restype = ctypes.c_void_p
+        lib.jl_open.argtypes = [ctypes.c_char_p]
+        lib.jl_append.restype = ctypes.c_int64
+        lib.jl_append.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
+        lib.jl_lines.restype = ctypes.c_int64
+        lib.jl_lines.argtypes = [ctypes.c_void_p]
+        lib.jl_close.argtypes = [ctypes.c_void_p]
+        lib.bgra_to_bgr.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64]
+        lib.bgr_to_rgb.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64]
+        lib.crop_u8.restype = ctypes.c_int32
+        lib.crop_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p,
+        ]
+        _lib = lib
+        return lib
+
+
+def _buf(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_char_p)
+
+
+class FrameRing:
+    """SPSC frame ring; drop-oldest when full (live-feed policy)."""
+
+    def __init__(self, slots: int, frame_shape, dtype=np.uint8):
+        self.shape = tuple(frame_shape)
+        self.dtype = np.dtype(dtype)
+        self.slot_bytes = int(np.prod(self.shape)) * self.dtype.itemsize
+        self._lib = get_lib()
+        if self._lib is not None:
+            self._h = self._lib.fr_create(slots, self.slot_bytes)
+            if not self._h:
+                self._lib = None
+        if self._lib is None:
+            from collections import deque
+
+            self._q = deque(maxlen=slots)
+            self._drops = 0
+
+    def push(self, frame: np.ndarray) -> int:
+        frame = np.ascontiguousarray(frame, self.dtype)
+        assert frame.shape == self.shape, (frame.shape, self.shape)
+        if self._lib is not None:
+            return int(self._lib.fr_push(self._h, _buf(frame)))
+        if len(self._q) == self._q.maxlen:
+            self._drops += 1
+        self._q.append(frame.copy())
+        return len(self._q)
+
+    def pop(self, latest: bool = True) -> Optional[np.ndarray]:
+        if self._lib is not None:
+            out = np.empty(self.shape, self.dtype)
+            seq = self._lib.fr_pop(self._h, _buf(out), 1 if latest else 0)
+            return out if seq >= 0 else None
+        if not self._q:
+            return None
+        if latest:
+            self._drops += max(0, len(self._q) - 1)
+            item = self._q[-1]
+            self._q.clear()
+            return item
+        return self._q.popleft()
+
+    @property
+    def dropped(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.fr_dropped(self._h))
+        return self._drops
+
+    @property
+    def available(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.fr_available(self._h))
+        return len(self._q)
+
+    def close(self):
+        if self._lib is not None and self._h:
+            self._lib.fr_destroy(self._h)
+            self._h = None
+
+
+class JsonLog:
+    """Append-only JSONL stream (atomic single-write appends)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._lib = get_lib()
+        if self._lib is not None:
+            self._h = self._lib.jl_open(path.encode())
+            if not self._h:
+                self._lib = None
+        if self._lib is None:
+            self._f = open(path, "a", encoding="utf-8")
+            self._n = 0
+
+    def append(self, line: str) -> int:
+        raw = line.encode()
+        if self._lib is not None:
+            return int(self._lib.jl_append(self._h, raw, len(raw)))
+        self._f.write(line + "\n")
+        self._f.flush()
+        self._n += 1
+        return len(raw) + 1
+
+    @property
+    def lines(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.jl_lines(self._h))
+        return self._n
+
+    def close(self):
+        if self._lib is not None:
+            if self._h:
+                self._lib.jl_close(self._h)
+                self._h = None
+        else:
+            self._f.close()
+
+
+def bgra_to_bgr(frame_bgra: np.ndarray) -> np.ndarray:
+    lib = get_lib()
+    h, w = frame_bgra.shape[:2]
+    if lib is not None:
+        src = np.ascontiguousarray(frame_bgra, np.uint8)
+        dst = np.empty((h, w, 3), np.uint8)
+        lib.bgra_to_bgr(_buf(src), _buf(dst), h * w)
+        return dst
+    return np.ascontiguousarray(frame_bgra[..., :3])
+
+
+def crop_u8(img: np.ndarray, y1: int, x1: int, y2: int, x2: int) -> np.ndarray:
+    lib = get_lib()
+    h, w = img.shape[:2]
+    y1c, x1c = max(0, y1), max(0, x1)
+    y2c, x2c = min(h, y2), min(w, x2)
+    if y2c <= y1c or x2c <= x1c:
+        return np.zeros((0, 0, 3), np.uint8)
+    if lib is not None:
+        src = np.ascontiguousarray(img, np.uint8)
+        dst = np.empty((y2c - y1c, x2c - x1c, 3), np.uint8)
+        lib.crop_u8(_buf(src), h, w, y1c, x1c, y2c, x2c, _buf(dst))
+        return dst
+    return np.ascontiguousarray(img[y1c:y2c, x1c:x2c])

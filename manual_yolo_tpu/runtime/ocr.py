@@ -1,0 +1,173 @@
+"""OCR engine: on-device preprocessing cascade + CRNN + allowlist CTC decode.
+
+Replaces the vendored EasyOCR usage across all three reference pipelines:
+  * multi-pass policy of ``detect.py:180-229`` — pass 1 enhanced, pass 2
+    Otsu, pass 3 2x upscale, keep the highest-confidence reading, gate at
+    0.35 (0.15 for turn/river);
+  * per-field allowlists + regex validation of ``yolo.py:218-315``.
+
+TPU-first shape: the reference runs the passes SERIALLY, re-entering the
+OCR engine until confidence is high enough. Here all passes are batched
+into ONE recognizer call (variants are device-preprocessed, stacked, and
+decoded together; best confidence selected on device) — SURVEY.md hard
+part (f).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from manual_yolo_tpu.game import taxonomy
+from manual_yolo_tpu.game.text import (
+    extract_card_value,
+    extract_name,
+    extract_numeric_value,
+    normalize_rank_text,
+)
+from manual_yolo_tpu.models import crnn
+from manual_yolo_tpu.ops import ctc as ctc_ops
+from manual_yolo_tpu.ops import image as img_ops
+
+NUMERIC_ALLOW = "0123456789.,kKmMbB$"
+NAME_ALLOW = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+)
+CARD_ALLOW = "AKQJT2345678910SHDCshdc"
+GAME_ID_ALLOW = NAME_ALLOW
+
+
+def field_kind(class_name: str) -> str:
+    """Map a detection class to its OCR field kind (yolo.py:173-190)."""
+    low = class_name.lower()
+    if low.endswith("_rank"):
+        return "card"
+    if low == "game_id":
+        return "game_id"
+    if low.endswith("_bet") or low.endswith("_stack") or low in (
+        "my_bet", "my_stack", "total_pot", "iinput_field"
+    ):
+        return "numeric"
+    if low.endswith("_name"):
+        return "name"
+    return "generic"
+
+
+class OCREngine:
+    """CRNN-backed OCR with the reference's multi-pass confidence policy."""
+
+    N_VARIANTS = 3  # enhanced / otsu / raw-upscaled, like detect.py passes
+
+    def __init__(self, params, width: int = 256, compute_dtype=jnp.float32):
+        self.params = params
+        self.width = width
+        self.compute_dtype = compute_dtype
+        self._masks = {
+            "numeric": jnp.asarray(ctc_ops.allowlist_mask(NUMERIC_ALLOW)),
+            "name": jnp.asarray(ctc_ops.allowlist_mask(NAME_ALLOW)),
+            "card": jnp.asarray(ctc_ops.allowlist_mask(CARD_ALLOW)),
+            "game_id": jnp.asarray(ctc_ops.allowlist_mask(GAME_ID_ALLOW)),
+            "generic": jnp.asarray(ctc_ops.allowlist_mask(None)),
+        }
+        self._run = jax.jit(self._run_impl)
+
+    @classmethod
+    def from_npz(cls, path: str, compute_dtype=jnp.float32) -> "OCREngine":
+        from manual_yolo_tpu.core.serialization import load_params
+
+        params, meta = load_params(path)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        return cls(params, width=int(meta.get("width", 256)), compute_dtype=compute_dtype)
+
+    # -- device program ----------------------------------------------------
+
+    def _variants(self, gray: jnp.ndarray) -> jnp.ndarray:
+        """(32, W) -> (3, 32, W, 1): enhanced / otsu / identity passes."""
+        enhanced = img_ops.clahe(gray, clip_limit=2.0)
+        otsu = img_ops.otsu_binarize(gray)
+        return jnp.stack([enhanced, otsu, gray])[..., None]
+
+    def _run_impl(self, params, gray_batch, mask):
+        """gray_batch (N, 32, W); returns (ids (N,3,T), conf (N,3))."""
+        var = jax.vmap(self._variants)(gray_batch)  # (N, 3, 32, W, 1)
+        n, v, h, w, c = var.shape
+        flat = var.reshape(n * v, h, w, c)
+        logits = crnn.forward(params, flat, self.compute_dtype)
+        ids, conf = ctc_ops.greedy_decode(logits, mask)
+        return ids.reshape(n, v, -1), conf.reshape(n, v)
+
+    # -- host API ----------------------------------------------------------
+
+    def read_batch(
+        self, crops_gray: List[np.ndarray], kind: str = "generic",
+        min_confidence: float = 0.35,
+    ) -> List[Tuple[str, float]]:
+        """Batch of variable-size gray crops -> [(text, confidence)].
+
+        All crops and all preprocessing variants go through the recognizer
+        in one device call; per crop the highest-confidence variant wins
+        (multi-pass policy of detect.py:194-226, parallelised).
+        """
+        if not crops_gray:
+            return []
+        batch = np.stack(
+            [crnn.preprocess_gray(c, self.width) for c in crops_gray]
+        )
+        ids, conf = jax.device_get(
+            self._run(self.params, jnp.asarray(batch), self._masks[kind])
+        )
+        out = []
+        for i in range(len(crops_gray)):
+            best = int(np.argmax(conf[i]))
+            text = ctc_ops.decode_to_text(ids[i, best])
+            c = float(conf[i, best])
+            out.append((text, c) if c >= min_confidence else ("", c))
+        return out
+
+    def read_field(
+        self, crop_bgr: np.ndarray, class_name: str,
+        min_confidence: float = 0.35,
+    ) -> Optional[str]:
+        """Reference-parity single-field read with validation/normalisation."""
+        if crop_bgr is None or crop_bgr.size == 0:
+            return None
+        kind = field_kind(class_name)
+        if crop_bgr.ndim == 3:
+            gray = np.asarray(
+                0.114 * crop_bgr[..., 0] + 0.587 * crop_bgr[..., 1]
+                + 0.299 * crop_bgr[..., 2],
+                np.float32,
+            ) / 255.0
+        else:
+            gray = crop_bgr.astype(np.float32) / 255.0
+        low = class_name.lower()
+        if "turn" in low or "river" in low:
+            min_confidence = min(min_confidence, 0.15)  # detect.py:187
+        (text, conf), = self.read_batch([gray], kind, min_confidence=0.0)
+        if conf < min_confidence:
+            return None
+        if kind == "card":
+            if low.endswith("_rank"):
+                return normalize_rank_text(text) or None
+            return extract_card_value(text)
+        if kind == "numeric":
+            return extract_numeric_value(text)
+        if kind == "name":
+            return extract_name(text)
+        return text or None
+
+
+def default_ocr_engine(
+    weights: str = "weights/crnn_synth.npz",
+) -> Optional[Callable[[np.ndarray, str], Optional[str]]]:
+    """Build the shot-pipeline OCR hook, or None if no weights exist."""
+    import os
+
+    if not os.path.exists(weights):
+        return None
+    eng = OCREngine.from_npz(weights)
+    return eng.read_field

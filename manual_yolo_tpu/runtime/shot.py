@@ -1,0 +1,126 @@
+"""Single-screenshot pipeline — the reliable surface of reference ``yolo.py``.
+
+Equivalent of ``PokerDetector.process_screenshot`` (``yolo.py:359-453``):
+image file in -> detections -> per-class content extraction -> flat result
+JSON + annotated image out. Differences by design:
+
+  * rank fields are read by the batched rank classifier (device) rather than
+    the OCR binarise-grid; numeric/name fields go through the OCR engine if
+    one is configured (runtime/ocr.py) — the reference's EasyOCR cascade is
+    a vendored-engine behaviour we replace (SURVEY.md §2b);
+  * all model compute happens in ONE fused device program (FusedPipeline);
+  * JSON writes are atomic (reference write_json_atomic, yolo.py:330).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from manual_yolo_tpu.game import schema, taxonomy
+from manual_yolo_tpu.game.text import suit_char
+from manual_yolo_tpu.runtime.pipeline import FusedPipeline
+
+
+def process_screenshot(
+    pipeline: FusedPipeline,
+    image_path: str,
+    output_json: str = "poker_result.json",
+    output_image: Optional[str] = "poker_labeled.png",
+    ocr: Optional[Callable[[np.ndarray, str], Optional[str]]] = None,
+) -> Dict:
+    """Run the single-shot pipeline on an image file; returns the result dict."""
+    import cv2
+
+    frame = cv2.imread(image_path)
+    if frame is None:
+        raise FileNotFoundError(f"cannot read image: {image_path}")
+    dets = pipeline.process_frame(frame)
+
+    card_ranks: Dict[str, str] = {}
+    card_suits: Dict[str, str] = {}
+    community: Dict[str, str] = {}
+    buttons: List[Dict] = []
+
+    for d in dets:
+        name = d["class_name"]
+        x1, y1, x2, y2 = d["bbox"]
+        text = d.get("ocr_text") or ""
+
+        if not text and ocr is not None and name in taxonomy.OCR_CLASSES:
+            crop = frame[max(0, y1) : max(y1 + 1, y2), max(0, x1) : max(x1 + 1, x2)]
+            text = ocr(crop, name) or ""
+            d["ocr_text"] = text
+
+        if "_rank" in name and text:
+            card_ranks[name] = text
+        elif "_suite_" in name:
+            # class name encodes the suit; store under the matching rank key
+            card_suits[name.split("_suite_")[0] + "_rank"] = suit_char(name)
+
+        if name.startswith(("flop", "turn", "river")) and "_rank" in name and text:
+            community[name] = text + card_suits.get(name, "")
+
+        if name.startswith("button_"):
+            buttons.append(
+                {"button": name, "center": [(x1 + x2) // 2, (y1 + y2) // 2]}
+            )
+
+    result = schema.build_flat_result(card_ranks, card_suits, community, buttons)
+    schema.write_json_atomic(os.path.abspath(output_json), result)
+
+    if output_image:
+        annotated = frame.copy()
+        for d in dets:
+            x1, y1, x2, y2 = d["bbox"]
+            label = f"{d['class_name']}:{d.get('ocr_text') or ''}"
+            cv2.rectangle(annotated, (x1, y1), (x2, y2), (255, 0, 0), 2)
+            cv2.putText(
+                annotated, label, (x1, max(0, y1 - 5)),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1,
+            )
+        cv2.imwrite(output_image, annotated)
+    return result
+
+
+def load_fused_pipeline(
+    detector_weights: str,
+    classifier_weights: str,
+    imgsz: int = 640,
+    conf: float = 0.25,
+    iou: float = 0.7,
+    compute_dtype: str = "bfloat16",
+) -> FusedPipeline:
+    """Construct the fused pipeline from native (.npz) or torch (.pt) weights."""
+    import jax.numpy as jnp
+
+    from manual_yolo_tpu.core.serialization import load_params
+    from manual_yolo_tpu.models import yolov8
+    from manual_yolo_tpu.models.classifier import RankClassifier
+
+    det_params, det_meta = load_params(detector_weights)
+    sp = det_meta.get("spec", {})
+    det_spec = yolov8.build_spec("detect", sp.get("scale", "n"), int(sp.get("nc", 64)))
+    det_params = yolov8.fold_params(det_params, det_spec)
+    names = {int(k): v for k, v in det_meta.get("names", {}).items()} or taxonomy.CLASSES
+
+    if classifier_weights.endswith(".pt"):
+        clf = RankClassifier.from_torch_checkpoint(classifier_weights)
+    else:
+        clf = RankClassifier.from_npz(classifier_weights)
+
+    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    return FusedPipeline(
+        det_params=det_params,
+        det_spec=det_spec,
+        cls_params=clf.params,
+        cls_spec=clf.spec,
+        names=names,
+        rank_names=clf.names,
+        imgsz=imgsz,
+        conf=conf,
+        iou=iou,
+        compute_dtype=cdt,
+    )

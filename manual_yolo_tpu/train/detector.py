@@ -103,7 +103,10 @@ def train_detector(cfg: DetTrainConfig, log=print) -> Dict[str, float]:
     rng = np.random.default_rng(cfg.seed)
     cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    train_samples = data_lib.load_yolo_split(cfg.data_root, "train")
+    # pre-downscale to ~1.5x the train canvas: mosaic sources never need more
+    train_samples = data_lib.load_yolo_split(
+        cfg.data_root, "train", max_side=cfg.imgsz * 3 // 2
+    )
     val_samples = data_lib.load_yolo_split(cfg.data_root, "valid")
     names = data_lib.load_yolo_names(cfg.data_root)
     nc = len(names)
@@ -141,17 +144,47 @@ def train_detector(cfg: DetTrainConfig, log=print) -> Dict[str, float]:
         ema_params = ema_update(ema_params, params, step)
         return params, ema_params, opt_state, loss, aux
 
+    # background batch producer: overlap host augmentation with device steps
+    import queue as queue_mod
+    import threading
+
+    batch_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=4)
+    stop_flag = threading.Event()
+    mosaic_flag = threading.Event()
+    mosaic_flag.set()
+
+    def producer():
+        prng = np.random.default_rng(cfg.seed + 1)
+        while not stop_flag.is_set():
+            b = data_lib.make_detect_batch(
+                prng, train_samples, cfg.batch, cfg.imgsz, cfg.max_boxes,
+                mosaic=mosaic_flag.is_set(),
+            )
+            while not stop_flag.is_set():
+                try:
+                    batch_q.put(b, timeout=0.5)
+                    break
+                except queue_mod.Full:
+                    continue
+
+    producer_threads = [
+        threading.Thread(target=producer, daemon=True) for _ in range(4)
+    ]
+    for th in producer_threads:
+        th.start()
+
     best_map, best_epoch, t0 = -1.0, -1, time.time()
     step = 0
     history = []
     for epoch in range(cfg.epochs):
         mosaic_on = epoch < cfg.epochs - cfg.close_mosaic
+        if mosaic_on:
+            mosaic_flag.set()
+        else:
+            mosaic_flag.clear()
         ep = {"loss": 0.0, "box": 0.0, "cls": 0.0, "dfl": 0.0}
         for _ in range(steps_per_epoch):
-            x, t, m = data_lib.make_detect_batch(
-                rng, train_samples, cfg.batch, cfg.imgsz, cfg.max_boxes,
-                mosaic=mosaic_on,
-            )
+            x, t, m = batch_q.get()
             params, ema_params, opt_state, loss, aux = train_step(
                 params, ema_params, opt_state, jnp.asarray(step, jnp.int32),
                 jnp.asarray(x), jnp.asarray(t), jnp.asarray(m),
@@ -193,6 +226,7 @@ def train_detector(cfg: DetTrainConfig, log=print) -> Dict[str, float]:
                 log(f"early stop (best map50 {best_map:.4f} @ epoch {best_epoch+1})")
                 break
         log(line + f" ({time.time()-t0:.0f}s)")
+    stop_flag.set()
     return {
         "best_map50": best_map,
         "best_epoch": best_epoch + 1,

@@ -110,6 +110,8 @@ def detection_loss(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     H, W = images.shape[1:3]
     nc = spec.nc
+    if images.dtype == jnp.uint8:  # uint8 batches normalise on device
+        images = images.astype(jnp.float32) / 255.0
     raw = yolov8.forward_detect_raw(params, spec, images, compute_dtype, bn_ctx)
 
     dists, logits = [], []

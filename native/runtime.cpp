@@ -1,0 +1,190 @@
+// Native host-runtime pieces for manual_yolo_tpu.
+//
+// The reference delegates all native work to vendored wheels (SURVEY.md §2:
+// "zero C++/Rust/CUDA sources in the repo"); this framework's host runtime
+// is its own native code:
+//
+//   * FrameRing  — fixed-slot SPSC ring buffer decoupling the capture thread
+//                  from device submission (drop-oldest policy, like a live
+//                  screen feed wants). Replaces the reference's synchronous
+//                  capture->infer loop (detect.py:531-541).
+//   * JsonLog    — append-only line writer with O_APPEND atomic appends,
+//                  fixing the O(n^2) full-file JSON rewrite the reference
+//                  does every frame (detect.py:687-688).
+//   * pixels     — BGRA->BGR / BGR->RGB repack + uint8 crop, the host-side
+//                  pixel chores (mss returns BGRA; cv2 wants BGR; the model
+//                  wants RGB) in tight auto-vectorised loops.
+//
+// Built by runtime/native.py with g++ -O3 -shared; bound via ctypes.
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fcntl.h>
+#include <mutex>
+#include <new>
+#include <unistd.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// FrameRing: single-producer single-consumer ring of fixed-size frames.
+// ---------------------------------------------------------------------------
+
+struct FrameRing {
+  uint8_t *data;
+  int64_t slot_bytes;
+  int32_t slots;
+  std::atomic<uint64_t> head;  // next write sequence
+  std::atomic<uint64_t> tail;  // next read sequence
+  std::atomic<uint64_t> dropped;
+};
+
+FrameRing *fr_create(int32_t slots, int64_t slot_bytes) {
+  auto *r = new (std::nothrow) FrameRing();
+  if (!r) return nullptr;
+  r->data = new (std::nothrow) uint8_t[(size_t)slots * slot_bytes];
+  if (!r->data) {
+    delete r;
+    return nullptr;
+  }
+  r->slot_bytes = slot_bytes;
+  r->slots = slots;
+  r->head.store(0);
+  r->tail.store(0);
+  r->dropped.store(0);
+  return r;
+}
+
+void fr_destroy(FrameRing *r) {
+  if (!r) return;
+  delete[] r->data;
+  delete r;
+}
+
+// Push a frame; if the ring is full, overwrite the oldest (live-feed policy).
+// Returns the sequence number assigned.
+int64_t fr_push(FrameRing *r, const uint8_t *frame) {
+  uint64_t h = r->head.load(std::memory_order_relaxed);
+  uint64_t t = r->tail.load(std::memory_order_acquire);
+  if (h - t >= (uint64_t)r->slots) {
+    // full: advance tail (drop oldest)
+    r->tail.compare_exchange_strong(t, t + 1, std::memory_order_acq_rel);
+    r->dropped.fetch_add(1, std::memory_order_relaxed);
+  }
+  std::memcpy(r->data + (h % r->slots) * r->slot_bytes, frame,
+              (size_t)r->slot_bytes);
+  r->head.store(h + 1, std::memory_order_release);
+  return (int64_t)h;
+}
+
+// Pop the newest-available frame into out. skip_to_latest drains the queue
+// (live mode); otherwise FIFO. Returns sequence >= 0, or -1 if empty.
+int64_t fr_pop(FrameRing *r, uint8_t *out, int32_t skip_to_latest) {
+  uint64_t t = r->tail.load(std::memory_order_relaxed);
+  uint64_t h = r->head.load(std::memory_order_acquire);
+  if (t >= h) return -1;
+  if (skip_to_latest && h - t > 1) {
+    uint64_t skipped = h - 1 - t;
+    r->dropped.fetch_add(skipped, std::memory_order_relaxed);
+    t = h - 1;
+  }
+  std::memcpy(out, r->data + (t % r->slots) * r->slot_bytes,
+              (size_t)r->slot_bytes);
+  r->tail.store(t + 1, std::memory_order_release);
+  return (int64_t)t;
+}
+
+int64_t fr_dropped(FrameRing *r) { return (int64_t)r->dropped.load(); }
+int64_t fr_available(FrameRing *r) {
+  return (int64_t)(r->head.load() - r->tail.load());
+}
+
+// ---------------------------------------------------------------------------
+// JsonLog: append-only JSONL with atomic single-write appends.
+// ---------------------------------------------------------------------------
+
+struct JsonLog {
+  int fd;
+  std::mutex mu;
+  uint64_t lines;
+};
+
+JsonLog *jl_open(const char *path) {
+  int fd = ::open(path, O_WRONLY | O_CREAT | O_APPEND, 0644);
+  if (fd < 0) return nullptr;
+  auto *j = new (std::nothrow) JsonLog();
+  if (!j) {
+    ::close(fd);
+    return nullptr;
+  }
+  j->fd = fd;
+  j->lines = 0;
+  return j;
+}
+
+// Appends one line (adds '\n'); single write() call keeps lines atomic for
+// same-filesystem readers. Returns bytes written or -1.
+int64_t jl_append(JsonLog *j, const char *line, int64_t len) {
+  std::lock_guard<std::mutex> g(j->mu);
+  char stackbuf[8192];
+  char *buf = stackbuf;
+  bool heap = (len + 1) > (int64_t)sizeof(stackbuf);
+  if (heap) buf = new (std::nothrow) char[len + 1];
+  if (!buf) return -1;
+  std::memcpy(buf, line, (size_t)len);
+  buf[len] = '\n';
+  ssize_t n = ::write(j->fd, buf, (size_t)len + 1);
+  if (heap) delete[] buf;
+  if (n > 0) j->lines++;
+  return (int64_t)n;
+}
+
+int64_t jl_lines(JsonLog *j) { return (int64_t)j->lines; }
+
+void jl_close(JsonLog *j) {
+  if (!j) return;
+  ::fsync(j->fd);
+  ::close(j->fd);
+  delete j;
+}
+
+// ---------------------------------------------------------------------------
+// pixels: repack / crop loops.
+// ---------------------------------------------------------------------------
+
+void bgra_to_bgr(const uint8_t *src, uint8_t *dst, int64_t npix) {
+  for (int64_t i = 0; i < npix; ++i) {
+    dst[i * 3 + 0] = src[i * 4 + 0];
+    dst[i * 3 + 1] = src[i * 4 + 1];
+    dst[i * 3 + 2] = src[i * 4 + 2];
+  }
+}
+
+void bgr_to_rgb(const uint8_t *src, uint8_t *dst, int64_t npix) {
+  for (int64_t i = 0; i < npix; ++i) {
+    dst[i * 3 + 0] = src[i * 3 + 2];
+    dst[i * 3 + 1] = src[i * 3 + 1];
+    dst[i * 3 + 2] = src[i * 3 + 0];
+  }
+}
+
+// Crop [y1,y2) x [x1,x2) from an (h, w, 3) uint8 image into dst (contiguous).
+// Bounds are clamped; returns number of rows copied.
+int32_t crop_u8(const uint8_t *src, int32_t h, int32_t w, int32_t y1,
+                int32_t x1, int32_t y2, int32_t x2, uint8_t *dst) {
+  if (y1 < 0) y1 = 0;
+  if (x1 < 0) x1 = 0;
+  if (y2 > h) y2 = h;
+  if (x2 > w) x2 = w;
+  if (y2 <= y1 || x2 <= x1) return 0;
+  int32_t cw = x2 - x1;
+  for (int32_t y = y1; y < y2; ++y) {
+    std::memcpy(dst + (size_t)(y - y1) * cw * 3,
+                src + ((size_t)y * w + x1) * 3, (size_t)cw * 3);
+  }
+  return y2 - y1;
+}
+
+}  // extern "C"

@@ -2,12 +2,22 @@
 
 Multi-chip TPU hardware is not available in CI; sharding/pjit paths are
 validated on a virtual 8-device CPU mesh per the project test strategy
-(SURVEY.md §2c). Must run before jax is imported anywhere.
+(SURVEY.md §2c).
+
+IMPORTANT (this environment): the axon TPU plugin is force-registered by a
+``sitecustomize.py`` on PYTHONPATH at interpreter boot and overrides
+JAX_PLATFORMS. To get a REAL CPU run (and not contend with TPU jobs),
+launch pytest via ``./run_tests.sh`` which strips the plugin path:
+
+    JAX_PLATFORMS=cpu PYTHONPATH=/root/repo python -m pytest tests/
+
+The env hard-set below covers environments without the plugin.
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +25,16 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    # persistent XLA compile cache: repeat suite runs skip recompilation
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 
 REFERENCE_ROOT = "/root/reference"
 

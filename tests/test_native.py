@@ -1,0 +1,120 @@
+"""Native runtime (C++ ring buffer / JSONL / pixel ops) tests.
+
+These exercise the compiled path when the toolchain is present and the
+fallback path otherwise; both must behave identically.
+"""
+
+import json
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from manual_yolo_tpu.runtime import native
+
+
+def test_native_lib_builds():
+    # in this environment g++ exists, so the native path must come up
+    lib = native.get_lib()
+    assert lib is not None, "native library failed to build"
+
+
+def test_frame_ring_fifo_and_latest():
+    ring = native.FrameRing(4, (8, 8, 3))
+    frames = [np.full((8, 8, 3), i, np.uint8) for i in range(3)]
+    for f in frames:
+        ring.push(f)
+    assert ring.available == 3
+    out = ring.pop(latest=False)
+    assert int(out[0, 0, 0]) == 0
+    out = ring.pop(latest=True)  # drains to newest
+    assert int(out[0, 0, 0]) == 2
+    assert ring.pop() is None
+    ring.close()
+
+
+def test_frame_ring_drop_oldest():
+    ring = native.FrameRing(2, (4, 4, 3))
+    for i in range(5):
+        ring.push(np.full((4, 4, 3), i, np.uint8))
+    assert ring.available <= 2
+    assert ring.dropped >= 3
+    newest = ring.pop(latest=True)
+    assert int(newest[0, 0, 0]) == 4
+    ring.close()
+
+
+def test_frame_ring_threaded():
+    import time
+
+    ring = native.FrameRing(8, (16, 16, 3))
+    stop = threading.Event()
+    got = []
+
+    def producer():
+        i = 0
+        while not stop.is_set():
+            ring.push(np.full((16, 16, 3), i % 251, np.uint8))
+            i += 1
+            time.sleep(0.0005)
+
+    def consumer():
+        deadline = time.time() + 5.0
+        while len(got) < 50 and time.time() < deadline:
+            f = ring.pop(latest=False)
+            if f is not None:
+                got.append(int(f[0, 0, 0]))
+        stop.set()
+
+    tp = threading.Thread(target=producer, daemon=True)
+    tc = threading.Thread(target=consumer)
+    tp.start(); tc.start()
+    tc.join(timeout=10)
+    stop.set()
+    tp.join(timeout=5)
+    assert len(got) >= 50
+    # FIFO pops are monotonically non-decreasing (modulo counter wrap at 251)
+    wraps = sum(1 for a, b in zip(got, got[1:]) if b < a)
+    assert wraps <= 1
+    ring.close()
+
+
+def test_jsonlog_append(tmp_path):
+    p = str(tmp_path / "d.jsonl")
+    log = native.JsonLog(p)
+    for i in range(10):
+        log.append(json.dumps({"frame": i}))
+    assert log.lines == 10
+    log.close()
+    rows = [json.loads(l) for l in open(p)]
+    assert [r["frame"] for r in rows] == list(range(10))
+
+
+def test_jsonlog_append_across_reopen(tmp_path):
+    p = str(tmp_path / "d.jsonl")
+    log = native.JsonLog(p)
+    log.append("{\"a\": 1}")
+    log.close()
+    log2 = native.JsonLog(p)
+    log2.append("{\"a\": 2}")
+    log2.close()
+    assert len(open(p).readlines()) == 2  # appended, not truncated
+
+
+def test_bgra_to_bgr():
+    rng = np.random.default_rng(0)
+    bgra = rng.integers(0, 255, (32, 20, 4), np.uint8)
+    out = native.bgra_to_bgr(bgra)
+    np.testing.assert_array_equal(out, bgra[..., :3])
+
+
+def test_crop_u8_clamps():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (50, 60, 3), np.uint8)
+    crop = native.crop_u8(img, -5, -5, 20, 25)
+    np.testing.assert_array_equal(crop, img[0:20, 0:25])
+    crop2 = native.crop_u8(img, 40, 50, 100, 100)
+    np.testing.assert_array_equal(crop2, img[40:50, 50:60])
+    empty = native.crop_u8(img, 10, 10, 10, 10)
+    assert empty.size == 0

@@ -1,0 +1,126 @@
+"""CRNN / CTC / OCR-engine tests (mechanics + trainability, no pretrained)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from manual_yolo_tpu.models import crnn  # noqa: E402
+from manual_yolo_tpu.ops import ctc as ctc_ops  # noqa: E402
+
+
+def test_charset_covers_reference_allowlists():
+    """Every char the reference allowlists must be representable
+    (yolo.py:232 card chars, :277 numerics, :305 names)."""
+    for allow in (
+        "AKQJT2345678910SHDCshdc",
+        "0123456789.,kKmMbB$",
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_",
+    ):
+        for c in allow:
+            assert c in crnn.CHARSET, f"missing {c!r}"
+
+
+def test_crnn_forward_shapes():
+    params = crnn.init_params(jax.random.PRNGKey(0), hidden=32)
+    x = jnp.zeros((3, 32, 64, 1))
+    logits = crnn.forward(params, x)
+    assert logits.shape == (3, 16, crnn.NUM_CLASSES)
+
+
+def test_ctc_greedy_decode_collapse():
+    # hand-built logits: blank, A, A, blank, B -> "AB"
+    T = 5
+    ids = [0, crnn.char_to_id("A"), crnn.char_to_id("A"), 0, crnn.char_to_id("B")]
+    logits = np.full((1, T, crnn.NUM_CLASSES), -10.0, np.float32)
+    for t, i in enumerate(ids):
+        logits[0, t, i] = 10.0
+    out, conf = ctc_ops.greedy_decode(jnp.asarray(logits))
+    assert ctc_ops.decode_to_text(np.asarray(out[0])) == "AB"
+    assert float(conf[0]) > 0.99
+
+
+def test_ctc_allowlist_masks_output():
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(0, 3, (4, 20, crnn.NUM_CLASSES)).astype(np.float32))
+    mask = jnp.asarray(ctc_ops.allowlist_mask("0123456789"))
+    out, _ = ctc_ops.greedy_decode(logits, mask)
+    for row in np.asarray(out):
+        text = ctc_ops.decode_to_text(row)
+        assert all(c.isdigit() for c in text), text
+
+
+def test_preprocess_gray_shapes():
+    img = np.random.default_rng(0).random((17, 333)).astype(np.float32)
+    out = crnn.preprocess_gray(img, 256)
+    assert out.shape == (32, 256)
+    tiny = np.random.default_rng(1).random((5, 3)).astype(np.float32)
+    out2 = crnn.preprocess_gray(tiny, 64)
+    assert out2.shape == (32, 64)
+
+
+def test_render_and_roundtrip_labels():
+    from manual_yolo_tpu.train.ocr import OCRTrainConfig, make_batch
+
+    rng = np.random.default_rng(0)
+    cfg = OCRTrainConfig(batch=8, width=192)
+    imgs, labels, pad, texts = make_batch(rng, cfg)
+    assert imgs.shape == (8, 32, 192, 1)
+    for i, t in enumerate(texts):
+        ids = [int(v) for v in labels[i] if v > 0]
+        assert crnn.ids_to_text(ids) == t
+
+
+@pytest.mark.slow
+def test_crnn_overfits_tiny_set():
+    """CTC training must drive loss down on a 4-sample fixed set."""
+    import optax
+
+    from manual_yolo_tpu.train.ocr import OCRTrainConfig, make_batch
+
+    rng = np.random.default_rng(0)
+    cfg = OCRTrainConfig(batch=4, width=96, max_label=12)
+    imgs, labels, pad, texts = make_batch(rng, cfg)
+    params = crnn.init_params(jax.random.PRNGKey(0), hidden=48)
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            logits = crnn.forward(p, jnp.asarray(imgs))
+            lp = jnp.zeros(logits.shape[:2], jnp.float32)
+            return jnp.mean(
+                optax.ctc_loss(logits, lp, jnp.asarray(labels), jnp.asarray(pad))
+            )
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        u, opt = tx.update(g, opt)
+        return optax.apply_updates(params, u), opt, loss
+
+    losses = []
+    for i in range(60):
+        params, opt, loss = step(params, opt)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
+def test_ocr_engine_batch_and_gating():
+    from manual_yolo_tpu.runtime.ocr import OCREngine, field_kind
+
+    assert field_kind("card1_rank") == "card"
+    assert field_kind("villian3_stack") == "numeric"
+    assert field_kind("villian2_name") == "name"
+    assert field_kind("game_id") == "game_id"
+    assert field_kind("iinput_field") == "numeric"
+
+    params = crnn.init_params(jax.random.PRNGKey(0), hidden=32)
+    eng = OCREngine(params, width=96)
+    crop = np.random.default_rng(0).random((24, 60)).astype(np.float32)
+    out = eng.read_batch([crop], "numeric", min_confidence=0.0)
+    assert len(out) == 1 and isinstance(out[0][0], str)
+    # random weights are low-confidence: default gate must reject
+    gated = eng.read_batch([crop], "numeric", min_confidence=0.9)
+    assert gated[0][0] == ""
+    assert eng.read_batch([], "numeric") == []

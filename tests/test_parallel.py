@@ -1,0 +1,109 @@
+"""Sharding tests on the virtual 8-device CPU mesh (SURVEY §2c test strategy)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from manual_yolo_tpu.models import yolov8  # noqa: E402
+from manual_yolo_tpu.parallel import mesh as mesh_lib  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (set XLA_FLAGS in conftest)")
+    return jax.devices()[:8]
+
+
+def test_make_mesh_shapes(eight_devices):
+    m1 = mesh_lib.make_mesh(8, axes=("data",))
+    assert m1.devices.shape == (8,)
+    m2 = mesh_lib.make_mesh(8, axes=("data", "spatial"))
+    assert m2.devices.size == 8 and len(m2.devices.shape) == 2
+
+
+def test_sharded_batch_inference_matches_single_device(eight_devices):
+    from manual_yolo_tpu.parallel.inference import ShardedDetector
+    from manual_yolo_tpu.runtime.engine import DetectorEngine
+
+    spec = yolov8.build_spec("detect", "n", nc=8)
+    params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(0), spec), spec
+    )
+    mesh = mesh_lib.make_mesh(8, axes=("data",))
+    names = {i: f"c{i}" for i in range(8)}
+    sharded = ShardedDetector(
+        params, spec, mesh, imgsz=64, conf=1e-6, compute_dtype=jnp.float32
+    )
+    single = DetectorEngine(
+        params, spec, names, imgsz=64, conf=1e-6, compute_dtype=jnp.float32
+    )
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (8, 96, 96, 3), np.uint8)
+    det_s = jax.device_get(sharded(frames))
+
+    # single-device reference on frame 0 (letterbox-canvas space comparison)
+    det_1 = jax.device_get(single.detect_batch(frames[:1]))
+    # counts must match for the same frame through both paths
+    assert int(det_s.count[0]) == int(det_1.count[0])
+    assert det_s.boxes.shape[0] == 8
+
+
+def test_sharded_batch_pads_ragged(eight_devices):
+    from manual_yolo_tpu.parallel.inference import ShardedDetector
+
+    spec = yolov8.build_spec("detect", "n", nc=4)
+    params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(1), spec), spec
+    )
+    mesh = mesh_lib.make_mesh(8, axes=("data",))
+    sharded = ShardedDetector(params, spec, mesh, imgsz=64, compute_dtype=jnp.float32)
+    frames = np.random.default_rng(0).integers(0, 255, (3, 64, 64, 3), np.uint8)
+    det = jax.device_get(sharded(frames))  # 3 -> padded to 8 -> sliced back
+    assert det.count.shape == (3,)
+
+
+def test_tiled_frames_cover_frame():
+    from manual_yolo_tpu.parallel.inference import tiled_frames
+
+    frame = np.zeros((1200, 1920, 3), np.uint8)
+    tiles, offsets = tiled_frames(frame, tile=640, overlap=0.2)
+    assert tiles.shape[1:] == (640, 640, 3)
+    xs = {o[0] for o in offsets}
+    ys = {o[1] for o in offsets}
+    assert max(xs) + 640 >= 1920 and max(ys) + 640 >= 1200
+    assert 0 in xs and 0 in ys
+
+
+def test_dp_train_step_runs_and_is_finite(eight_devices):
+    """The multichip dry-run path: one DP train step on the CPU mesh."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_spatial_sharding_forward(eight_devices):
+    """Conv forward with activations sharded along H (XLA inserts halos)."""
+    mesh = mesh_lib.make_mesh(8, axes=("data", "spatial"))
+    spec = yolov8.build_spec("classify", "n", nc=13)
+    params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(0), spec), spec
+    )
+    # mesh is (data=4, spatial=2) for 8 devices; batch must divide data axis
+    x = jnp.asarray(np.random.default_rng(0).random((4, 64, 64, 3), np.float32))
+    repl = NamedSharding(mesh, P())
+    xsh = NamedSharding(mesh, P("data", "spatial"))
+    params = jax.device_put(params, repl)
+    x_s = jax.device_put(x, xsh)
+
+    fn = jax.jit(
+        lambda p, v: yolov8.forward_classify(p, spec, v),
+        in_shardings=(repl, xsh),
+        out_shardings=repl,
+    )
+    out_sharded = np.asarray(fn(params, x_s))
+    out_ref = np.asarray(yolov8.forward_classify(params, spec, x))
+    np.testing.assert_allclose(out_sharded, out_ref, atol=1e-3, rtol=1e-3)
