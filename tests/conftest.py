@@ -28,9 +28,15 @@ import pytest  # noqa: E402
 
 
 def pytest_configure(config):
-    # persistent XLA compile cache: repeat suite runs skip recompilation
     import jax
 
+    # the axon TPU plugin (when present) sets jax_platforms="axon,cpu" at
+    # interpreter boot; force the test suite onto CPU regardless
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    # persistent XLA compile cache: repeat suite runs skip recompilation
     cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
