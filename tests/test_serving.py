@@ -1,0 +1,68 @@
+"""Streaming engine: pipelining semantics + equivalence with the fused path."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from manual_yolo_tpu.game import taxonomy  # noqa: E402
+from manual_yolo_tpu.models import yolov8  # noqa: E402
+from manual_yolo_tpu.runtime.serving import StreamingEngine  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def engine():
+    det_spec = yolov8.build_spec("detect", "n", nc=64)
+    cls_spec = yolov8.build_spec("classify", "n", nc=13)
+    det_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(0), det_spec), det_spec
+    )
+    cls_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(1), cls_spec), cls_spec
+    )
+    return StreamingEngine(
+        det_params=det_params, det_spec=det_spec,
+        cls_params=cls_params, cls_spec=cls_spec,
+        names=taxonomy.CLASSES,
+        rank_names={i: str(i) for i in range(13)},
+        imgsz=192, conf=1e-6, compute_dtype=jnp.float32,
+        use_pallas_nms=False,
+    )
+
+
+def test_pipeline_depth_and_order(engine):
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (240, 400, 3), np.uint8) for _ in range(4)]
+    results = []
+    for f in frames:
+        r = engine.process(f)
+        if r is not None:
+            results.append(r)
+    results.extend(engine.drain())
+    # all submitted frames come back, in order, despite 2-deep pipelining
+    assert len(results) == 4
+    for dets in results:
+        for d in dets:
+            x1, y1, x2, y2 = d["bbox"]
+            assert 0 <= x1 <= x2 <= 400 and 0 <= y1 <= y2 <= 240
+
+
+def test_first_poll_is_none_until_full(engine):
+    rng = np.random.default_rng(1)
+    f = rng.integers(0, 255, (240, 400, 3), np.uint8)
+    engine.drain()
+    assert engine.process(f) is None  # pipeline not yet full
+    out = engine.process(f)
+    assert out is not None
+    engine.drain()
+
+
+def test_detection_fields(engine):
+    rng = np.random.default_rng(2)
+    f = rng.integers(0, 255, (240, 400, 3), np.uint8)
+    engine.drain()
+    engine.submit(f)
+    dets = engine.drain()[0]
+    for d in dets:
+        assert set(d) >= {"class_id", "class_name", "bbox", "conf", "ocr_text"}
