@@ -25,6 +25,8 @@ def main(argv=None) -> int:
     ap.add_argument("--iou", type=float, default=0.7)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--no-ocr", action="store_true", help="disable OCR fallback")
+    ap.add_argument("--accumulate", action="store_true",
+                    help="merge into existing output JSON fill-don't-overwrite")
     args = ap.parse_args(argv)
 
     from manual_yolo_tpu.runtime.shot import load_fused_pipeline, process_screenshot
@@ -42,7 +44,8 @@ def main(argv=None) -> int:
         except Exception:
             ocr = None
     result = process_screenshot(
-        pipeline, args.image, args.output_json, args.output_image, ocr=ocr
+        pipeline, args.image, args.output_json, args.output_image, ocr=ocr,
+        accumulate=args.accumulate,
     )
     print(json.dumps(result, indent=2))
     print(f"saved {args.output_json} and {args.output_image}", file=sys.stderr)

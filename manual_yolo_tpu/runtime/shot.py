@@ -30,8 +30,14 @@ def process_screenshot(
     output_json: str = "poker_result.json",
     output_image: Optional[str] = "poker_labeled.png",
     ocr: Optional[Callable[[np.ndarray, str], Optional[str]]] = None,
+    accumulate: bool = False,
 ) -> Dict:
-    """Run the single-shot pipeline on an image file; returns the result dict."""
+    """Run the single-shot pipeline on an image file; returns the result dict.
+
+    ``accumulate=True`` merges newly-read fields into the existing output
+    JSON fill-don't-overwrite (the reference's ACCUMULATE_DATA mode,
+    ``yolo.py:599-603``).
+    """
     import cv2
 
     frame = cv2.imread(image_path)
@@ -69,6 +75,17 @@ def process_screenshot(
             )
 
     result = schema.build_flat_result(card_ranks, card_suits, community, buttons)
+    if accumulate and os.path.exists(output_json):
+        import json
+
+        from manual_yolo_tpu.game.accumulate import merge_detected_values
+
+        try:
+            with open(output_json, encoding="utf-8") as f:
+                existing = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            existing = {}
+        result, _changes = merge_detected_values(existing, result)
     schema.write_json_atomic(os.path.abspath(output_json), result)
 
     if output_image:

@@ -169,3 +169,23 @@ def test_write_json_atomic(tmp_path):
     assert json.loads(open(p).read()) == {"a": 1}
     schema.write_json_atomic(p, {"a": 2})
     assert json.loads(open(p).read()) == {"a": 2}
+
+
+def test_merge_detected_values_semantics():
+    from manual_yolo_tpu.game.accumulate import merge_detected_values
+
+    existing = {"card1_rank": "A", "my_stack": "1000", "buttons": [{"b": 1}]}
+    new = {"card1_rank": "K", "card2_rank": "Q", "my_stack": "1200", "buttons": []}
+    merged, changes = merge_detected_values(existing, new)
+    # card fields are fill-only: existing A survives, empty card2 fills
+    assert merged["card1_rank"] == "A"
+    assert merged["card2_rank"] == "Q"
+    assert "card2_rank" in changes["cards_filled"]
+    # non-card fields update on change
+    assert merged["my_stack"] == "1200"
+    assert "my_stack" in changes["other_updated"]
+    # empty new buttons list does NOT clobber existing buttons
+    assert merged["buttons"] == [{"b": 1}]
+    # non-empty buttons replace wholesale
+    merged2, _ = merge_detected_values(merged, {"buttons": [{"b": 2}]})
+    assert merged2["buttons"] == [{"b": 2}]
