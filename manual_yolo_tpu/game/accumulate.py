@@ -15,6 +15,8 @@ from typing import Dict, List, Tuple
 CARD_KEYS = frozenset(
     [f"{p}_rank" for p in ("card1", "card2", "flop1", "flop2", "flop3", "turn", "river")]
     + [f"{p}_suit" for p in ("card1", "card2", "flop1", "flop2", "flop3", "turn", "river")]
+    # flat-result card keys (build_flat_result/build_result level)
+    + ["card1", "card2"]
 )
 
 
