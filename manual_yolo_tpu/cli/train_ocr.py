@@ -1,0 +1,33 @@
+"""OCR recognizer training CLI (synthetic CRNN+CTC)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Train the CRNN text recognizer")
+    ap.add_argument("--out", default="weights/crnn_synth.npz")
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--pool-size", type=int, default=20000)
+    args = ap.parse_args(argv)
+
+    from manual_yolo_tpu.train.ocr import OCRTrainConfig, train_ocr
+
+    cfg = OCRTrainConfig(
+        out_path=args.out, steps=args.steps, batch=args.batch,
+        width=args.width, hidden=args.hidden, lr=args.lr,
+        pool_size=args.pool_size,
+    )
+    res = train_ocr(cfg)
+    print(json.dumps(res, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

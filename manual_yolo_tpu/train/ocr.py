@@ -138,6 +138,7 @@ class OCRTrainConfig:
     seed: int = 0
     eval_every: int = 500
     compute_dtype: str = "float32"
+    pool_size: int = 20000  # pre-rendered sample pool (renders off hot loop)
 
 
 def make_batch(rng, cfg: OCRTrainConfig):
@@ -152,6 +153,22 @@ def make_batch(rng, cfg: OCRTrainConfig):
         ids = [crnn.char_to_id(c) for c in t]
         labels[i, : len(ids)] = ids
         lab_pad[i, : len(ids)] = 0.0  # 0 = valid for optax.ctc_loss
+    return imgs, labels, lab_pad, texts
+
+
+def build_pool(rng, cfg: OCRTrainConfig, size: int):
+    """Pre-render a sample pool so PIL rendering stays off the train loop."""
+    imgs = np.zeros((size, crnn.IMG_H, cfg.width, 1), np.float32)
+    labels = np.zeros((size, cfg.max_label), np.int32)
+    lab_pad = np.ones((size, cfg.max_label), np.float32)
+    texts = []
+    for i in range(size):
+        t = random_text(rng)[: cfg.max_label]
+        texts.append(t)
+        imgs[i, :, :, 0] = render_text(rng, t, cfg.width)
+        ids = [crnn.char_to_id(c) for c in t]
+        labels[i, : len(ids)] = ids
+        lab_pad[i, : len(ids)] = 0.0
     return imgs, labels, lab_pad, texts
 
 
@@ -194,9 +211,15 @@ def train_ocr(cfg: OCRTrainConfig, log=print) -> Dict[str, float]:
         return good / len(texts)
 
     t0 = time.time()
+    log(f"rendering {cfg.pool_size}-sample pool...")
+    pool = build_pool(rng, cfg, cfg.pool_size)
+    log(f"pool ready in {time.time()-t0:.0f}s")
+    p_imgs, p_labels, p_pad, _texts = pool
+
     best_acc = 0.0
     for s in range(cfg.steps):
-        imgs, labels, lab_pad, _ = make_batch(rng, cfg)
+        idx = rng.integers(0, cfg.pool_size, cfg.batch)
+        imgs, labels, lab_pad = p_imgs[idx], p_labels[idx], p_pad[idx]
         params, opt_state, loss = step(
             params, opt_state, jnp.asarray(imgs), jnp.asarray(labels),
             jnp.asarray(lab_pad),
