@@ -59,7 +59,8 @@ class LiveLoop:
         t0 = time.time()
         dets = self.pipeline.process_frame(frame_bgr)
 
-        # OCR for non-rank text fields, batched in one engine call
+        # OCR for non-rank text fields; per-field failures never kill the
+        # frame (reference resilience pattern, detect.py:227-229)
         if self.ocr is not None:
             from manual_yolo_tpu.game import taxonomy
 
@@ -72,18 +73,26 @@ class LiveLoop:
             for d in todo:
                 x1, y1, x2, y2 = d["bbox"]
                 crop = frame_bgr[max(0, y1) : max(y1 + 1, y2), max(0, x1) : max(x1 + 1, x2)]
-                d["ocr_text"] = self.ocr(crop, d["class_name"]) or ""
+                try:
+                    d["ocr_text"] = self.ocr(crop, d["class_name"]) or ""
+                except Exception as e:
+                    print(f"OCR error for {d['class_name']}: {e}")
 
-        tracked = self.tracker.update(
-            [
-                {
-                    "x1": d["bbox"][0], "y1": d["bbox"][1],
-                    "x2": d["bbox"][2], "y2": d["bbox"][3],
-                    "conf": d["conf"], "class_id": d["class_id"],
-                }
-                for d in dets
-            ]
-        )
+        # tracking errors degrade to untracked detections (detect.py:560-564)
+        try:
+            tracked = self.tracker.update(
+                [
+                    {
+                        "x1": d["bbox"][0], "y1": d["bbox"][1],
+                        "x2": d["bbox"][2], "y2": d["bbox"][3],
+                        "conf": d["conf"], "class_id": d["class_id"],
+                    }
+                    for d in dets
+                ]
+            )
+        except Exception as e:
+            print(f"Tracking error: {e}")
+            tracked = [dict(tracker_id=-1) for _ in dets]
         for d, t in zip(dets, tracked):
             d["tracker_id"] = t["tracker_id"]
             d["frame"] = self.frame_count
