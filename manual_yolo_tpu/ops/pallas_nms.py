@@ -39,15 +39,19 @@ def _nms_kernel(boxes_ref, valid_ref, thres_ref, keep_ref, *, k: int):
     y2 = boxes_ref[3, 0:1, :]
     area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
     thres = thres_ref[0, 0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
     keep_ref[...] = jnp.zeros_like(keep_ref)
 
     def body(i, _):
-        # candidate i's coordinates (scalars)
-        bx1 = boxes_ref[0, 0, i]
-        by1 = boxes_ref[1, 0, i]
-        bx2 = boxes_ref[2, 0, i]
-        by2 = boxes_ref[3, 0, i]
+        # candidate i's coordinates: one-lane dynamic reductions (Mosaic
+        # forbids scalar VMEM stores; scalar extraction via masked max)
+        sel = lane == i
+        bx1 = jnp.max(jnp.where(sel, x1, -jnp.inf))
+        by1 = jnp.max(jnp.where(sel, y1, -jnp.inf))
+        bx2 = jnp.max(jnp.where(sel, x2, -jnp.inf))
+        by2 = jnp.max(jnp.where(sel, y2, -jnp.inf))
+        bval = jnp.max(jnp.where(sel, valid_ref[0:1, :], 0.0))
         barea = jnp.maximum(bx2 - bx1, 0.0) * jnp.maximum(by2 - by1, 0.0)
         # IoU of candidate i vs all boxes — one vector op across K lanes
         ix1 = jnp.maximum(x1, bx1)
@@ -59,10 +63,9 @@ def _nms_kernel(boxes_ref, valid_ref, thres_ref, keep_ref, *, k: int):
 
         kept = keep_ref[0:1, :]  # (1, K) — higher-scored keeps so far
         overlaps_kept = jnp.any((iou > thres) & (kept > 0.5))
-        keep_i = jnp.where(
-            (valid_ref[0, i] > 0.5) & ~overlaps_kept, 1.0, 0.0
-        )
-        keep_ref[0, i] = keep_i
+        keep_i = jnp.where((bval > 0.5) & ~overlaps_kept, 1.0, 0.0)
+        # masked vector store: only lane i changes
+        keep_ref[0:1, :] = jnp.where(sel, keep_i, kept)
         return 0
 
     jax.lax.fori_loop(0, k, body, 0)

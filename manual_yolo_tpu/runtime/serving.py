@@ -1,32 +1,30 @@
 """Pipelined streaming engine — the throughput-serving path.
 
 The fused single-program pipeline (runtime/pipeline.py) minimises latency
-but uploads the FULL capture frame (1920x1200x3 ≈ 6.9 MB) every step; on a
-tunnelled/host-attached chip the host->device link (~500 MB/s) then caps
-throughput near 75 fps regardless of compute. This engine restructures the
-same work to move ~5x fewer bytes and overlap everything:
+but pays two costs per frame on a tunnelled chip: the full 6.9 MB capture
+upload, and a ~30 ms completion-notification latency on every blocking
+fetch of a just-dispatched program (measured; the compute itself is ~3 ms).
+This engine restructures the same work so neither is on the critical path:
 
-  stage H1 (host):   letterbox 1920x1200 -> 640 canvas (uint8, 1.2 MB)
-  stage D1 (device): canvas -> detect -> NMS -> boxes      [async dispatch]
-  stage H2 (host):   gather rank crops from the FULL-RES frame (native
-                     crop_u8), shortest-side resize to 64x64 (~0.2 MB)
-  stage D2 (device): batched rank classification            [async dispatch]
+  stage H1 (host):   letterbox into a PREALLOCATED canvas (resize writes
+                     in place; BGR->RGB happens on device) — ~3 ms
+  stage D1 (device): canvas -> detect -> NMS          [async, depth-Q1 queue]
+  stage H2 (host):   fetch a LONG-COMPLETE detect result (~1 ms), gather
+                     rank crops from the full-res frame (native crop_u8)
+  stage D2 (device): batched rank classification      [async, depth-Q2 queue]
+  stage H3 (host):   fetch long-complete probabilities, assemble result
 
-Two frames are kept in flight: while frame N sits in D1/D2 the host
-prepares frame N+1 — JAX's async dispatch gives the overlap for free, the
-engine only blocks when a result is actually consumed. Steady-state
-throughput ≈ max(stage time) instead of the sum.
-
-Accuracy is identical to the fused path: detection runs on the same
-letterboxed canvas; classifier crops come from the full-resolution frame
-with the same pad/shortest-side semantics (reference safe_crop pad=6,
-detect.py:100-113).
+With Q1+Q2 ≈ 10 frames in flight, every fetch lands on a result whose
+completion notification already arrived, so the host never eats the 30 ms
+sync latency; steady-state throughput = max(host work, device work) per
+frame. Accuracy semantics match the fused path exactly (same letterbox,
+same NMS, classifier crops from the full-resolution frame with the
+reference's pad=6 / shortest-side-center-crop semantics).
 """
 
 from __future__ import annotations
 
 import collections
-from dataclasses import dataclass, field
 from typing import Deque, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -34,16 +32,8 @@ import numpy as np
 from manual_yolo_tpu.game import taxonomy
 
 
-@dataclass
-class _InFlight:
-    frame: np.ndarray
-    ratio: float
-    pad: Tuple[int, int]
-    det_future: object  # device arrays (async)
-
-
 class StreamingEngine:
-    """Throughput-oriented frame pipeline with two frames in flight."""
+    """Throughput-oriented frame pipeline with split detect/classify queues."""
 
     def __init__(
         self,
@@ -57,11 +47,12 @@ class StreamingEngine:
         conf: float = 0.25,
         iou: float = 0.7,
         max_det: int = 300,
-        max_rank: int = 16,
+        max_rank: int = 8,
         crop_pad: int = 6,
         compute_dtype=None,
         use_pallas_nms: Optional[bool] = None,
-        depth: int = 2,
+        detect_depth: int = 6,
+        classify_depth: int = 4,
     ):
         import jax
         import jax.numpy as jnp
@@ -78,15 +69,22 @@ class StreamingEngine:
         self.imgsz = imgsz
         self.max_rank = max_rank
         self.crop_pad = crop_pad
-        self.depth = depth
-        self._rank_ids = {
-            i for i, n in names.items() if n in taxonomy.RANK_CLASSES
-        }
+        self.detect_depth = detect_depth
+        self.classify_depth = classify_depth
+        self._rank_ids = {i for i, n in names.items() if n in taxonomy.RANK_CLASSES}
         self.det_params = det_params
         self.cls_params = cls_params
+        # canvas pool: device_put may read the host buffer after submit
+        # returns, so rotate more buffers than frames in flight
+        self._canvases = [
+            np.full((imgsz, imgsz, 3), 114, np.uint8)
+            for _ in range(detect_depth + 3)
+        ]
+        self._canvas_i = 0
+        self._rank_name_cache = dict(rank_names)
 
-        def detect(params, canvas_u8):
-            x = canvas_u8.astype(jnp.float32)[None] / 255.0
+        def detect(params, canvas_u8_bgr):
+            x = canvas_u8_bgr[..., ::-1].astype(jnp.float32)[None] / 255.0
             raw = yolov8.forward_detect_raw(params, det_spec, x, cdt)
             boxes, scores = yolov8.decode_boxes(raw, (imgsz, imgsz), det_spec.strides)
             return nms_ops.nms(
@@ -94,16 +92,19 @@ class StreamingEngine:
                 pre_nms=512, max_det=max_det, use_pallas=use_pallas_nms,
             )
 
-        def classify(params, crops_u8):
-            x = crops_u8.astype(jnp.float32) / 255.0
+        def classify(params, crops_u8_bgr):
+            x = crops_u8_bgr[..., ::-1].astype(jnp.float32) / 255.0
             logits = yolov8.forward_classify(params, cls_spec, x, cdt)
             return jax.nn.softmax(logits, axis=-1)
 
         self._detect = jax.jit(detect)
         self._classify = jax.jit(classify)
-        self._queue: Deque[_InFlight] = collections.deque()
+        # queue 1 entries: (frame, ratio, (top, left), det_future)
+        self._q1: Deque[Tuple] = collections.deque()
+        # queue 2 entries: (dets_host, det_idx, probs_future)
+        self._q2: Deque[Tuple] = collections.deque()
 
-    # -- host stages -------------------------------------------------------
+    # -- host stages ---------------------------------------------------------
 
     def _letterbox_host(self, frame: np.ndarray):
         import cv2
@@ -112,24 +113,29 @@ class StreamingEngine:
 
         h, w = frame.shape[:2]
         r, nh, nw, top, left = letterbox_params((h, w), (self.imgsz, self.imgsz))
-        resized = cv2.resize(frame, (nw, nh), interpolation=cv2.INTER_LINEAR)
-        canvas = np.full((self.imgsz, self.imgsz, 3), 114, np.uint8)
-        canvas[top : top + nh, left : left + nw] = resized
-        return canvas[..., ::-1].copy(), r, (top, left)  # BGR->RGB
+        self._canvas_i = (self._canvas_i + 1) % len(self._canvases)
+        canvas = self._canvases[self._canvas_i]
+        if nw == self.imgsz and canvas[top : top + nh].flags.c_contiguous:
+            cv2.resize(frame, (nw, nh), dst=canvas[top : top + nh],
+                       interpolation=cv2.INTER_LINEAR)
+        else:
+            canvas[top : top + nh, left : left + nw] = cv2.resize(
+                frame, (nw, nh), interpolation=cv2.INTER_LINEAR
+            )
+        return canvas, r, (top, left)
 
-    def _gather_rank_crops(self, frame: np.ndarray, dets) -> Tuple[np.ndarray, List[int]]:
-        """Crop+resize rank-class detections from the full-res frame."""
+    def _gather_rank_crops(self, frame, boxes, classes, scores):
+        """Crop+resize rank-class detections (BGR) from the full-res frame."""
         import cv2
 
         crops = np.zeros((self.max_rank, 64, 64, 3), np.uint8)
         det_idx: List[int] = []
-        order = np.argsort(-dets["scores"])
-        for i in order:
+        for i in range(len(scores)):  # already score-descending from NMS
             if len(det_idx) >= self.max_rank:
                 break
-            if int(dets["classes"][i]) not in self._rank_ids:
+            if int(classes[i]) not in self._rank_ids:
                 continue
-            x1, y1, x2, y2 = dets["boxes"][i]
+            x1, y1, x2, y2 = boxes[i]
             p = self.crop_pad
             crop = frame[
                 max(0, int(y1) - p) : int(y2) + p, max(0, int(x1) - p) : int(x2) + p
@@ -140,60 +146,65 @@ class StreamingEngine:
             s = 64 / min(h, w)
             nh, nw = max(64, round(h * s)), max(64, round(w * s))
             resized = cv2.resize(crop, (nw, nh), interpolation=cv2.INTER_LINEAR)
-            top, left = (nh - 64) // 2, (nw - 64) // 2
-            crops[len(det_idx)] = resized[top : top + 64, left : left + 64, ::-1]
-            det_idx.append(int(i))
+            t, l = (nh - 64) // 2, (nw - 64) // 2
+            crops[len(det_idx)] = resized[t : t + 64, l : l + 64]
+            det_idx.append(i)
         return crops, det_idx
 
-    # -- pipeline ----------------------------------------------------------
+    # -- pipeline ------------------------------------------------------------
 
     def submit(self, frame_bgr: np.ndarray) -> None:
-        """Stage a frame: host letterbox + async device detect dispatch."""
         import jax.numpy as jnp
 
         canvas, r, pad = self._letterbox_host(frame_bgr)
         fut = self._detect(self.det_params, jnp.asarray(canvas))
-        self._queue.append(_InFlight(frame_bgr, r, pad, fut))
+        self._q1.append((frame_bgr, r, pad, fut))
+        if len(self._q1) > self.detect_depth:
+            self._advance_q1()
 
-    def _finish(self, item: _InFlight) -> List[Dict]:
+    def _advance_q1(self) -> None:
         import jax
         import jax.numpy as jnp
 
-        det = jax.device_get(item.det_future)  # blocks on D1 for this frame
+        frame, r, (top, left), fut = self._q1.popleft()
+        det = jax.device_get(fut)
         n = int(det.count)
-        top, left = item.pad
-        h, w = item.frame.shape[:2]
-        boxes = (det.boxes[:n] - np.array([left, top, left, top])) / item.ratio
-        boxes = np.clip(boxes, 0, [w, h, w, h])
-        dets = {
-            "boxes": boxes,
-            "scores": np.asarray(det.scores[:n]),
-            "classes": np.asarray(det.classes[:n]),
-        }
+        h, w = frame.shape[:2]
+        boxes = (det.boxes[:n] - np.array([left, top, left, top], np.float32)) / r
+        np.clip(boxes, 0, [w, h, w, h], out=boxes)
+        scores = np.asarray(det.scores[:n])
+        classes = np.asarray(det.classes[:n])
+        crops, det_idx = self._gather_rank_crops(frame, boxes, classes, scores)
+        probs_fut = (
+            self._classify(self.cls_params, jnp.asarray(crops)) if det_idx else None
+        )
+        self._q2.append(((boxes, scores, classes), det_idx, probs_fut))
+
+    def _finish_q2(self) -> List[Dict]:
+        import jax
+
+        (boxes, scores, classes), det_idx, probs_fut = self._q2.popleft()
         out = [
             {
-                "class_id": int(dets["classes"][i]),
-                "class_name": self.names.get(int(dets["classes"][i]), "?"),
-                "bbox": [int(v) for v in dets["boxes"][i]],
-                "conf": round(float(dets["scores"][i]), 3),
+                "class_id": int(classes[i]),
+                "class_name": self.names.get(int(classes[i]), "?"),
+                "bbox": [int(v) for v in boxes[i]],
+                "conf": round(float(scores[i]), 3),
                 "ocr_text": "",
             }
-            for i in range(n)
+            for i in range(len(scores))
         ]
-        crops, det_idx = self._gather_rank_crops(item.frame, dets)
-        if det_idx:
-            probs = np.asarray(
-                self._classify(self.cls_params, jnp.asarray(crops))
-            )[: len(det_idx)]
+        if probs_fut is not None:
             from manual_yolo_tpu.game.text import VALID_CARD_RANKS, normalize_rank_text
 
+            probs = jax.device_get(probs_fut)[: len(det_idx)]
             for slot, di in enumerate(det_idx):
                 t = int(np.argmax(probs[slot]))
                 conf_t = float(probs[slot][t])
                 cname = out[di]["class_name"]
                 thr = 0.20 if ("turn" in cname or "river" in cname) else 0.40
                 if conf_t >= thr:
-                    pred = self.rank_names.get(t, "")
+                    pred = self._rank_name_cache.get(t, "")
                     cleaned = normalize_rank_text(pred)
                     out[di]["ocr_text"] = (
                         cleaned if cleaned in VALID_CARD_RANKS else pred.upper()
@@ -201,21 +212,249 @@ class StreamingEngine:
         return out
 
     def poll(self) -> Optional[List[Dict]]:
-        """Complete the oldest in-flight frame once the pipeline is full."""
-        if len(self._queue) >= self.depth:
-            return self._finish(self._queue.popleft())
+        if len(self._q2) > self.classify_depth:
+            return self._finish_q2()
         return None
 
     def drain(self) -> List[List[Dict]]:
         out = []
-        while self._queue:
-            out.append(self._finish(self._queue.popleft()))
+        while self._q1:
+            self._advance_q1()
+        while self._q2:
+            out.append(self._finish_q2())
         return out
 
     def process(self, frame_bgr: np.ndarray) -> Optional[List[Dict]]:
         """submit + poll in one call (steady-state streaming API)."""
         self.submit(frame_bgr)
         return self.poll()
+
+
+class BatchStream:
+    """Batched throughput pipeline: amortise tunnel round trips over B frames.
+
+    On host-attached/tunnelled chips each host<->device transfer costs a
+    ~30 ms round trip regardless of size (measured), while the detect
+    program itself runs in ~2 ms — so per-frame transfers cap throughput
+    near 15 fps no matter how fast the model is. This engine moves B frames
+    per transfer: one batched canvas upload, one batched detect+pack call,
+    one packed readback, one crop upload, one batched classify — 4 round
+    trips amortised over B frames, with two batches in flight so the link
+    streams while the device computes.
+    """
+
+    def __init__(
+        self,
+        det_params,
+        det_spec,
+        cls_params,
+        cls_spec,
+        names: Dict[int, str],
+        rank_names: Dict[int, str],
+        batch: int = 32,
+        imgsz: int = 640,
+        conf: float = 0.25,
+        iou: float = 0.7,
+        max_det: int = 300,
+        max_rank: int = 8,
+        crop_pad: int = 6,
+        compute_dtype=None,
+        use_pallas_nms: Optional[bool] = None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from manual_yolo_tpu.models import yolov8
+        from manual_yolo_tpu.ops import nms as nms_ops
+        from manual_yolo_tpu.ops.pallas_nms import pallas_available
+
+        cdt = compute_dtype or jnp.bfloat16
+        if use_pallas_nms is None:
+            use_pallas_nms = pallas_available()
+        self.B = batch
+        self.names = names
+        self.rank_names = dict(rank_names)
+        self.imgsz = imgsz
+        self.max_det = max_det
+        self.max_rank = max_rank
+        self.crop_pad = crop_pad
+        self._rank_ids = {i for i, n in names.items() if n in taxonomy.RANK_CLASSES}
+        self.det_params = det_params
+        self.cls_params = cls_params
+        # two staging buffers so batch N+1 fills while N is in flight
+        self._staging = [
+            np.full((batch, imgsz, imgsz, 3), 114, np.uint8) for _ in range(3)
+        ]
+        self._staging_i = 0
+
+        def detect_batch(params, canvases_flat_u8):
+            # flat uint8 input: multi-dim uint8 device_put pays a host-side
+            # relayout (~17x slower through the tunnel); reshape on device
+            canvases_u8_bgr = canvases_flat_u8.reshape(batch, imgsz, imgsz, 3)
+            x = canvases_u8_bgr[..., ::-1].astype(jnp.float32) / 255.0
+            raw = yolov8.forward_detect_raw(params, det_spec, x, cdt)
+            boxes, scores = yolov8.decode_boxes(raw, (imgsz, imgsz), det_spec.strides)
+            det = jax.vmap(
+                lambda b, s: nms_ops.nms(
+                    b, s, conf_thres=conf, iou_thres=iou, pre_nms=512,
+                    max_det=max_det, use_pallas=use_pallas_nms,
+                )
+            )(boxes, scores)
+            # pack into ONE FLAT array: a single cheap readback
+            packed = jnp.concatenate(
+                [
+                    det.boxes,
+                    det.scores[..., None],
+                    det.classes[..., None].astype(jnp.float32),
+                    jnp.broadcast_to(
+                        det.count[:, None, None].astype(jnp.float32),
+                        (batch, max_det, 1),
+                    ),
+                ],
+                axis=-1,
+            )  # (B, max_det, 7)
+            return packed.reshape(-1)
+
+        def classify_batch(params, crops_flat_u8):
+            crops_u8_bgr = crops_flat_u8.reshape(batch * max_rank, 64, 64, 3)
+            x = crops_u8_bgr[..., ::-1].astype(jnp.float32) / 255.0
+            logits = yolov8.forward_classify(params, cls_spec, x, cdt)
+            return jax.nn.softmax(logits, axis=-1).reshape(-1)
+
+        self._detect = jax.jit(detect_batch)
+        self._classify = jax.jit(classify_batch)
+        self._pending: Deque[Tuple] = collections.deque()
+
+        # IO pumper: the tunnelled PJRT client only makes transfer progress
+        # while a host thread blocks on it, so async dispatch alone gives no
+        # overlap. A daemon thread blocks on the newest future, pumping
+        # uploads/compute while the main thread letterboxes the next batch.
+        import queue as queue_mod
+        import threading
+
+        self._pump_q: "queue_mod.Queue" = queue_mod.Queue()
+
+        def _pump():
+            import jax as _jax
+
+            while True:
+                fut = self._pump_q.get()
+                if fut is None:
+                    return
+                try:
+                    _jax.block_until_ready(fut)
+                except Exception:
+                    pass
+
+        self._pump_thread = threading.Thread(target=_pump, daemon=True)
+        self._pump_thread.start()
+
+    def _letterbox_into(self, dst: np.ndarray, frame: np.ndarray):
+        import cv2
+
+        from manual_yolo_tpu.ops.letterbox import letterbox_params
+
+        h, w = frame.shape[:2]
+        r, nh, nw, top, left = letterbox_params((h, w), (self.imgsz, self.imgsz))
+        if nw == self.imgsz:
+            cv2.resize(frame, (nw, nh), dst=dst[top : top + nh],
+                       interpolation=cv2.INTER_LINEAR)
+        else:
+            dst[top : top + nh, left : left + nw] = cv2.resize(
+                frame, (nw, nh), interpolation=cv2.INTER_LINEAR
+            )
+        return r, (top, left)
+
+    def submit_batch(self, frames: List[np.ndarray]) -> None:
+        """Stage + dispatch one batch of exactly B frames (async)."""
+        import jax.numpy as jnp
+
+        assert len(frames) == self.B
+        self._staging_i = (self._staging_i + 1) % len(self._staging)
+        staging = self._staging[self._staging_i]
+        metas = []
+        for i, f in enumerate(frames):
+            metas.append(self._letterbox_into(staging[i], f))
+        fut = self._detect(self.det_params, jnp.asarray(staging.reshape(-1)))
+        self._pump_q.put(fut)
+        self._pending.append((frames, metas, fut))
+
+    def collect_batch(self) -> List[List[Dict]]:
+        """Fetch the oldest in-flight batch and finish it (crops+classify)."""
+        import cv2
+        import jax
+        import jax.numpy as jnp
+
+        from manual_yolo_tpu.game.text import VALID_CARD_RANKS, normalize_rank_text
+
+        frames, metas, fut = self._pending.popleft()
+        packed = np.asarray(fut).reshape(self.B, self.max_det, 7)
+        results: List[List[Dict]] = []
+        crops = np.zeros((self.B * self.max_rank, 64, 64, 3), np.uint8)
+        crop_refs: List[Tuple[int, int]] = []  # (flat_slot, (frame_i, det_i))
+
+        for bi in range(self.B):
+            frame = frames[bi]
+            r, (top, left) = metas[bi]
+            n = int(packed[bi, 0, 6])
+            h, w = frame.shape[:2]
+            boxes = (packed[bi, :n, :4] - [left, top, left, top]) / r
+            np.clip(boxes, 0, [w, h, w, h], out=boxes)
+            dets = [
+                {
+                    "class_id": int(packed[bi, i, 5]),
+                    "class_name": self.names.get(int(packed[bi, i, 5]), "?"),
+                    "bbox": [int(v) for v in boxes[i]],
+                    "conf": round(float(packed[bi, i, 4]), 3),
+                    "ocr_text": "",
+                }
+                for i in range(n)
+            ]
+            results.append(dets)
+            taken = 0
+            for i in range(n):
+                if taken >= self.max_rank:
+                    break
+                if int(packed[bi, i, 5]) not in self._rank_ids:
+                    continue
+                x1, y1, x2, y2 = boxes[i]
+                p = self.crop_pad
+                crop = frame[
+                    max(0, int(y1) - p) : int(y2) + p,
+                    max(0, int(x1) - p) : int(x2) + p,
+                ]
+                if crop.size == 0:
+                    continue
+                ch, cw = crop.shape[:2]
+                s = 64 / min(ch, cw)
+                nh, nw = max(64, round(ch * s)), max(64, round(cw * s))
+                resized = cv2.resize(crop, (nw, nh), interpolation=cv2.INTER_LINEAR)
+                t, l = (nh - 64) // 2, (nw - 64) // 2
+                slot = bi * self.max_rank + taken
+                crops[slot] = resized[t : t + 64, l : l + 64]
+                crop_refs.append((slot, (bi, i)))
+                taken += 1
+
+        if crop_refs:
+            probs = np.asarray(
+                self._classify(self.cls_params, jnp.asarray(crops.reshape(-1)))
+            ).reshape(self.B * self.max_rank, -1)
+            for slot, (bi, di) in crop_refs:
+                t = int(np.argmax(probs[slot]))
+                conf_t = float(probs[slot][t])
+                cname = results[bi][di]["class_name"]
+                thr = 0.20 if ("turn" in cname or "river" in cname) else 0.40
+                if conf_t >= thr:
+                    pred = self.rank_names.get(t, "")
+                    cleaned = normalize_rank_text(pred)
+                    results[bi][di]["ocr_text"] = (
+                        cleaned if cleaned in VALID_CARD_RANKS else pred.upper()
+                    )
+        return results
+
+    @property
+    def in_flight(self) -> int:
+        return len(self._pending)
 
 
 def load_streaming_engine(
@@ -235,6 +474,29 @@ def load_streaming_engine(
     else:
         clf = RankClassifier.from_npz(classifier_weights)
     return StreamingEngine(
+        det_params=det_params, det_spec=det_spec,
+        cls_params=clf.params, cls_spec=clf.spec,
+        names=names, rank_names=clf.names, **kwargs,
+    )
+
+
+def load_batch_stream(
+    detector_weights: str, classifier_weights: str, **kwargs
+) -> BatchStream:
+    from manual_yolo_tpu.core.serialization import load_params
+    from manual_yolo_tpu.models import yolov8
+    from manual_yolo_tpu.models.classifier import RankClassifier
+
+    det_params, det_meta = load_params(detector_weights)
+    sp = det_meta.get("spec", {})
+    det_spec = yolov8.build_spec("detect", sp.get("scale", "n"), int(sp.get("nc", 64)))
+    det_params = yolov8.fold_params(det_params, det_spec)
+    names = {int(k): v for k, v in det_meta.get("names", {}).items()} or taxonomy.CLASSES
+    if classifier_weights.endswith(".pt"):
+        clf = RankClassifier.from_torch_checkpoint(classifier_weights)
+    else:
+        clf = RankClassifier.from_npz(classifier_weights)
+    return BatchStream(
         det_params=det_params, det_spec=det_spec,
         cls_params=clf.params, cls_spec=clf.spec,
         names=names, rank_names=clf.names, **kwargs,

@@ -27,7 +27,7 @@ def engine():
         names=taxonomy.CLASSES,
         rank_names={i: str(i) for i in range(13)},
         imgsz=192, conf=1e-6, compute_dtype=jnp.float32,
-        use_pallas_nms=False,
+        use_pallas_nms=False, detect_depth=1, classify_depth=0,
     )
 
 
@@ -66,3 +66,34 @@ def test_detection_fields(engine):
     dets = engine.drain()[0]
     for d in dets:
         assert set(d) >= {"class_id", "class_name", "bbox", "conf", "ocr_text"}
+
+
+def test_batch_stream_roundtrip():
+    from manual_yolo_tpu.runtime.serving import BatchStream
+
+    det_spec = yolov8.build_spec("detect", "n", nc=64)
+    cls_spec = yolov8.build_spec("classify", "n", nc=13)
+    det_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(0), det_spec), det_spec
+    )
+    cls_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(1), cls_spec), cls_spec
+    )
+    s = BatchStream(
+        det_params=det_params, det_spec=det_spec,
+        cls_params=cls_params, cls_spec=cls_spec,
+        names=taxonomy.CLASSES, rank_names={i: str(i) for i in range(13)},
+        batch=4, imgsz=192, conf=1e-6, compute_dtype=jnp.float32,
+        use_pallas_nms=False,
+    )
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (240, 400, 3), np.uint8) for _ in range(4)]
+    s.submit_batch(frames)
+    assert s.in_flight == 1
+    results = s.collect_batch()
+    assert len(results) == 4 and s.in_flight == 0
+    for dets in results:
+        for d in dets:
+            x1, y1, x2, y2 = d["bbox"]
+            assert 0 <= x1 <= x2 <= 400 and 0 <= y1 <= y2 <= 240
+            assert set(d) >= {"class_id", "class_name", "conf", "ocr_text"}
