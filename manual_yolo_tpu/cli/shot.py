@@ -24,6 +24,7 @@ def main(argv=None) -> int:
     ap.add_argument("--conf", type=float, default=0.5)  # yolo.py:773 main uses 0.5
     ap.add_argument("--iou", type=float, default=0.7)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--ocr-weights", default="weights/crnn_synth.npz")
     ap.add_argument("--no-ocr", action="store_true", help="disable OCR fallback")
     ap.add_argument("--accumulate", action="store_true",
                     help="merge into existing output JSON fill-don't-overwrite")
@@ -40,7 +41,7 @@ def main(argv=None) -> int:
         try:
             from manual_yolo_tpu.runtime.ocr import default_ocr_engine
 
-            ocr = default_ocr_engine()
+            ocr = default_ocr_engine(args.ocr_weights)
         except Exception:
             ocr = None
     result = process_screenshot(

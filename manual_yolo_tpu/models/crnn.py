@@ -165,13 +165,17 @@ def forward(params, x, compute_dtype=jnp.float32) -> jnp.ndarray:
 
 def preprocess_gray(crop_gray: np.ndarray, target_w: int) -> np.ndarray:
     """Host: (h, w) uint8/float gray -> (32, target_w) [0,1], aspect kept,
-    right-padded with the edge median (text assumed left-aligned after the
-    reference-style preprocessing)."""
+    a few background-padded pixels on each side (CTC drops glyphs that
+    touch the crop edge), remainder right-padded with the edge median."""
     import cv2
 
     h, w = crop_gray.shape[:2]
     if crop_gray.dtype != np.float32:
         crop_gray = crop_gray.astype(np.float32) / 255.0
+    bg = float(np.median(crop_gray))
+    pad = max(2, h // 8)
+    crop_gray = np.pad(crop_gray, ((2, 2), (pad, pad)), constant_values=bg)
+    h, w = crop_gray.shape[:2]
     scale = IMG_H / max(h, 1)
     nw = max(1, min(target_w, int(round(w * scale))))
     resized = cv2.resize(crop_gray, (nw, IMG_H), interpolation=cv2.INTER_LINEAR)

@@ -128,8 +128,10 @@ class FusedPipeline:
                 lambda b: crop_resize_center(rgb, b, 64, self.crop_pad)
             )(crop_boxes)
             crops = crops / 255.0
+            # classifier runs f32: it is tiny (<0.1 ms) and bf16 flips
+            # borderline rank reads near the confidence thresholds
             logits = yolov8.forward_classify(
-                cls_params, self.cls_spec, crops, self.compute_dtype
+                cls_params, self.cls_spec, crops, jnp.float32
             )
             probs = jax.nn.softmax(logits, axis=-1)
             probs = jnp.where(valid[:, None], probs, 0.0)

@@ -94,7 +94,8 @@ class StreamingEngine:
 
         def classify(params, crops_u8_bgr):
             x = crops_u8_bgr[..., ::-1].astype(jnp.float32) / 255.0
-            logits = yolov8.forward_classify(params, cls_spec, x, cdt)
+            # f32: tiny model; bf16 flips borderline rank reads
+            logits = yolov8.forward_classify(params, cls_spec, x, jnp.float32)
             return jax.nn.softmax(logits, axis=-1)
 
         self._detect = jax.jit(detect)
@@ -318,7 +319,8 @@ class BatchStream:
         def classify_batch(params, crops_flat_u8):
             crops_u8_bgr = crops_flat_u8.reshape(batch * max_rank, 64, 64, 3)
             x = crops_u8_bgr[..., ::-1].astype(jnp.float32) / 255.0
-            logits = yolov8.forward_classify(params, cls_spec, x, cdt)
+            # f32: tiny model; bf16 flips borderline rank reads
+            logits = yolov8.forward_classify(params, cls_spec, x, jnp.float32)
             return jax.nn.softmax(logits, axis=-1).reshape(-1)
 
         self._detect = jax.jit(detect_batch)

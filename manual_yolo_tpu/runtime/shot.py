@@ -65,6 +65,13 @@ def process_screenshot(
         elif "_suite_" in name:
             # class name encodes the suit; store under the matching rank key
             card_suits[name.split("_suite_")[0] + "_rank"] = suit_char(name)
+        elif text:
+            # non-rank field values (stack/bet/pot/name/game_id). NOTE: the
+            # reference's process_screenshot reads these but never stores
+            # them (yolo.py:387-391 only keeps *_rank), leaving my_stack /
+            # villains empty in its own output — we store them as the
+            # schema clearly intends (yolo.py:425-445 reads these keys).
+            card_ranks[name] = text
 
         if name.startswith(("flop", "turn", "river")) and "_rank" in name and text:
             community[name] = text + card_suits.get(name, "")
