@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from manual_yolo_tpu.core.serialization import save_params
+from manual_yolo_tpu.core.serialization import load_params, save_params
 from manual_yolo_tpu.models import yolov8
 from manual_yolo_tpu.train.data import augment_classify_batch, load_classify_folder
 
@@ -151,6 +151,14 @@ def train_classifier(cfg: ClsTrainConfig, log=print) -> Dict[str, float]:
         )
         return top1, top5
 
+    def confusion(params) -> np.ndarray:
+        logits = np.asarray(eval_logits(params, jnp.asarray(x_val)))
+        pred = logits.argmax(-1)
+        m = np.zeros((nc, nc), np.int32)
+        for t, p in zip(y_val, pred):
+            m[t, p] += 1
+        return m
+
     best_top1, best_epoch, t0 = -1.0, -1, time.time()
     history = []
     for epoch in range(cfg.epochs):
@@ -186,6 +194,22 @@ def train_classifier(cfg: ClsTrainConfig, log=print) -> Dict[str, float]:
         if epoch - best_epoch >= cfg.patience:
             log(f"early stop at epoch {epoch+1} (best {best_top1:.4f} @ {best_epoch+1})")
             break
+
+    # training artifacts, mirroring the reference run directory
+    # (runs/rank_classifier/results.csv + confusion matrix)
+    run_dir = os.path.dirname(os.path.abspath(cfg.out_path))
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "results.csv"), "w") as f:
+        f.write("epoch,train_loss,top1,top5\n")
+        for h in history:
+            f.write(f"{h['epoch']},{h['loss']:.5f},{h['top1']:.5f},{h['top5']:.5f}\n")
+    best_params, _ = load_params(cfg.out_path)
+    best_params = jax.tree_util.tree_map(jnp.asarray, best_params)
+    cm = confusion(best_params)
+    np.savetxt(
+        os.path.join(run_dir, "confusion_matrix.csv"), cm, fmt="%d", delimiter=",",
+        header=",".join(names), comments="",
+    )
     return {
         "best_top1": best_top1,
         "best_epoch": best_epoch + 1,
