@@ -196,9 +196,14 @@ def train_classifier(cfg: ClsTrainConfig, log=print) -> Dict[str, float]:
             break
 
     # training artifacts, mirroring the reference run directory
-    # (runs/rank_classifier/results.csv + confusion matrix)
+    # (runs/rank_classifier/{args.yaml,results.csv,confusion_matrix})
+    import dataclasses
+    import json
+
     run_dir = os.path.dirname(os.path.abspath(cfg.out_path))
     os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "args.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
     with open(os.path.join(run_dir, "results.csv"), "w") as f:
         f.write("epoch,train_loss,top1,top5\n")
         for h in history:

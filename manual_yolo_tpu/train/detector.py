@@ -227,6 +227,21 @@ def train_detector(cfg: DetTrainConfig, log=print) -> Dict[str, float]:
                 break
         log(line + f" ({time.time()-t0:.0f}s)")
     stop_flag.set()
+    # artifacts next to the checkpoint (args + per-eval metrics)
+    import dataclasses
+    import json
+
+    run_dir = os.path.dirname(os.path.abspath(cfg.out_path))
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, f"args_{cfg.scale}.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+    with open(os.path.join(run_dir, f"results_{cfg.scale}.csv"), "w") as f:
+        f.write("epoch,loss,box,cls,dfl,map50,map50_95\n")
+        for h in history:
+            f.write(
+                f"{h['epoch']},{h['loss']:.5f},{h['box']:.5f},{h['cls']:.5f},"
+                f"{h['dfl']:.5f},{h['map50']:.5f},{h['map50_95']:.5f}\n"
+            )
     return {
         "best_map50": best_map,
         "best_epoch": best_epoch + 1,
