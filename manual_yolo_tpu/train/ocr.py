@@ -80,7 +80,15 @@ def random_card(rng) -> str:
 def random_text(rng) -> str:
     r = rng.random()
     if r < 0.40:
-        return random_amount(rng)
+        amt = random_amount(rng)
+        # poker-UI framing the reference's pot/bet fields carry
+        # (e.g. "Pot:3K", detect.py total_pot crops)
+        pre = rng.random()
+        if pre < 0.10:
+            return "Pot:" + amt
+        if pre < 0.15:
+            return "Pot: " + amt
+        return amt
     if r < 0.65:
         return random_name(rng)
     if r < 0.80:
@@ -117,12 +125,29 @@ def render_text(rng, text: str, target_w: int) -> np.ndarray:
     if rng.random() < 0.3:
         img = img.filter(ImageFilter.GaussianBlur(float(rng.random()) * 1.2))
     arr = np.asarray(img, np.float32) / 255.0
-    if rng.random() < 0.4:  # polarity flip (light text on dark bg)
+    # poker UIs are mostly light text on dark chrome: bias polarity flips
+    if rng.random() < 0.55:
         arr = 1.0 - arr
     # contrast/brightness jitter + noise
     arr = np.clip(arr * rng.uniform(0.6, 1.2) + rng.uniform(-0.15, 0.25), 0, 1)
     if rng.random() < 0.5:
         arr = np.clip(arr + rng.normal(0, rng.uniform(0.01, 0.07), arr.shape), 0, 1)
+    # chip/icon distractor: a filled disc left or right of the text
+    if rng.random() < 0.15:
+        h, w = arr.shape
+        cy = h // 2 + int(rng.integers(-3, 4))
+        cx = int(rng.integers(0, max(w // 5, 1))) if rng.random() < 0.5 else (
+            w - 1 - int(rng.integers(0, max(w // 5, 1)))
+        )
+        rad = int(rng.integers(3, max(h // 2, 4)))
+        ys, xs = np.ogrid[:h, :w]
+        disc = (ys - cy) ** 2 + (xs - cx) ** 2 <= rad**2
+        arr[disc] = float(rng.random())
+    # random edge clipping (tight detector boxes cut glyph edges)
+    if rng.random() < 0.3:
+        h, w = arr.shape
+        cut = int(rng.integers(1, max(w // 12, 2)))
+        arr = arr[:, cut:] if rng.random() < 0.5 else arr[:, : w - cut]
     return crnn.preprocess_gray(arr, target_w)
 
 
