@@ -18,6 +18,7 @@ def main(argv=None) -> int:
     ap.add_argument("--tile", type=int, default=640)
     ap.add_argument("--tile-overlap", type=float, default=0.2)
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--show", action="store_true", help="debug overlay window")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -48,7 +49,7 @@ def main(argv=None) -> int:
         ocr=default_ocr_engine(args.ocr_weights),
     )
     source = make_source(args.source)
-    pipeline.run(source, fps=args.fps, max_frames=args.max_frames)
+    pipeline.run(source, fps=args.fps, max_frames=args.max_frames, show=args.show)
     return 0
 
 

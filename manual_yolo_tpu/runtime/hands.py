@@ -174,7 +174,7 @@ class HandSessionPipeline:
                 "detections": dets}
 
     def run(self, source: Iterator[np.ndarray], fps: int = 6,
-            max_frames: Optional[int] = None):
+            max_frames: Optional[int] = None, show: bool = False):
         interval = 1.0 / max(1, fps)
         last = 0.0
         n = 0
@@ -188,6 +188,29 @@ class HandSessionPipeline:
                 f"hand#{self.hand_index} active:{len(info['active'])} "
                 f"buttons:{len(info['buttons'])}"
             )
+            if show:  # debug overlay (reference pipe.py:336-352)
+                import cv2
+
+                debug = frame.copy()
+                for t in info["active"]:
+                    x1, y1, x2, y2 = t["bbox"]
+                    cv2.rectangle(debug, (x1, y1), (x2, y2), (255, 0, 0), 2)
+                    cv2.putText(
+                        debug, f"ID{t['track_id']}:{t['class']}",
+                        (x1, max(0, y1 - 6)), cv2.FONT_HERSHEY_SIMPLEX, 0.45,
+                        (0, 255, 0), 1,
+                    )
+                status = f"Hand#{self.hand_index} active:{len(info['buttons'])} buttons"
+                if self.hand_start_ts:
+                    status += " | IN-HAND"
+                cv2.putText(debug, status, (10, 20), cv2.FONT_HERSHEY_SIMPLEX,
+                            0.6, (0, 255, 255), 2)
+                scale = min(1, 1200 / debug.shape[1])
+                cv2.imshow("Poker Debug", cv2.resize(
+                    debug, (int(debug.shape[1] * scale), int(debug.shape[0] * scale))
+                ))
+                if cv2.waitKey(1) & 0xFF == ord("q"):
+                    break
             n += 1
             if max_frames is not None and n >= max_frames:
                 break
