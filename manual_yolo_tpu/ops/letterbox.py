@@ -58,7 +58,11 @@ def letterbox(
     r, new_h, new_w, top, left = letterbox_params((h, w), (H, W), scaleup)
     img = frame.astype(dtype)
     if (new_h, new_w) != (h, w):
-        img = jax.image.resize(img, (new_h, new_w, 3), method="bilinear")
+        # antialias=False matches cv2.INTER_LINEAR (the reference's and the
+        # training pipeline's letterbox); the antialiased default diverges
+        # by ~28 gray levels mean when downscaling
+        img = jax.image.resize(img, (new_h, new_w, 3), method="bilinear",
+                               antialias=False)
     canvas = jnp.full((H, W, 3), PAD_VALUE, dtype)
     canvas = jax.lax.dynamic_update_slice(canvas, img, (top, left, 0))
     return canvas / 255.0, r, (top, left)

@@ -97,3 +97,20 @@ def test_batch_stream_roundtrip():
             x1, y1, x2, y2 = d["bbox"]
             assert 0 <= x1 <= x2 <= 400 and 0 <= y1 <= y2 <= 240
             assert set(d) >= {"class_id", "class_name", "conf", "ocr_text"}
+
+
+def test_host_and_device_letterbox_agree(engine):
+    """StreamingEngine's host cv2 letterbox must match the fused path's
+    on-device jax.image letterbox (same geometry, near-identical pixels)."""
+    from manual_yolo_tpu.ops.letterbox import letterbox
+
+    rng = np.random.default_rng(7)
+    frame = rng.integers(0, 255, (240, 400, 3), np.uint8)
+    host_canvas, r_h, pad_h = engine._letterbox_host(frame)  # BGR canvas
+    dev_canvas, r_d, pad_d = letterbox(jnp.asarray(frame), (192, 192))
+    assert r_h == r_d and pad_h == pad_d
+    dev_u8 = np.asarray(dev_canvas * 255.0)
+    diff = np.abs(host_canvas.astype(np.float32) - dev_u8)
+    # interpolation implementations differ by at most ~1 gray level
+    assert np.percentile(diff, 99) <= 2.0
+    assert diff.mean() < 1.0
