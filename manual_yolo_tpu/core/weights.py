@@ -40,17 +40,86 @@ class _Stub:
 
 _STUB_CACHE: Dict[Any, type] = {}
 
+_SAFE_BUILTINS = {
+    "set", "frozenset", "list", "dict", "tuple", "complex", "bytearray",
+    "slice", "range", "bool", "int", "float", "str", "bytes",
+}
+
+
+def _resolve_allowed(module: str, name: str):
+    """Resolve ``module.name`` only if it is on the reconstruction allow-list.
+
+    A torch pickle is arbitrary code execution by default: REDUCE can call any
+    importable callable (``os.system``, ``builtins.exec``). We therefore
+    resolve ONLY the machinery needed to rebuild tensors/ndarrays plus benign
+    containers, and stub everything else (the stub's ``__setstate__`` still
+    captures attributes, so metadata like ultralytics module objects survives
+    as inert attribute bags). Returns the object, or None if not allowed.
+    """
+    if module == "collections" and name in {"OrderedDict", "deque"}:
+        import collections
+
+        return getattr(collections, name)
+    if module == "builtins" and name in _SAFE_BUILTINS:
+        import builtins
+
+        return getattr(builtins, name)
+    if module in ("numpy", "numpy.core.multiarray", "numpy._core.multiarray"):
+        if name in {"ndarray", "dtype", "_reconstruct", "scalar"}:
+            __import__(module)
+            return getattr(sys.modules[module], name)
+        return None
+    if module == "argparse" and name == "Namespace":
+        import argparse
+
+        return argparse.Namespace
+    if module == "pathlib" and name in {
+        "Path", "PosixPath", "PurePosixPath", "PureWindowsPath",
+    }:
+        import pathlib
+
+        return getattr(pathlib, name)
+    if module.startswith("torch"):
+        import torch
+
+        if module == "torch._utils" and name.startswith("_rebuild_"):
+            return getattr(torch._utils, name)
+        if module == "torch.nn.parameter" and name == "Parameter":
+            return torch.nn.Parameter
+        if module == "torch.storage" and name in {
+            "TypedStorage", "UntypedStorage", "_load_from_bytes",
+        }:
+            import torch.storage
+
+            return getattr(torch.storage, name)
+        if module == "torch.serialization" and name == "_get_layout":
+            import torch.serialization
+
+            return torch.serialization._get_layout
+        if module == "torch":
+            obj = getattr(torch, name, None)
+            if (
+                name in {"Tensor", "Size", "device"}
+                or name.endswith("Storage")
+                or isinstance(obj, torch.dtype)
+            ):
+                return obj
+        return None
+    return None
+
 
 class _StubUnpickler(pickle.Unpickler):
     def find_class(self, module, name):  # noqa: D102
         try:
-            __import__(module)
-            return getattr(sys.modules[module], name)
+            obj = _resolve_allowed(module, name)
         except Exception:
-            key = (module, name)
-            if key not in _STUB_CACHE:
-                _STUB_CACHE[key] = type(name, (_Stub,), {"__module__": module})
-            return _STUB_CACHE[key]
+            obj = None
+        if obj is not None:
+            return obj
+        key = (module, name)
+        if key not in _STUB_CACHE:
+            _STUB_CACHE[key] = type(name, (_Stub,), {"__module__": module})
+        return _STUB_CACHE[key]
 
 
 def _stub_pickle_module() -> types.ModuleType:

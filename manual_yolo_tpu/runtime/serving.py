@@ -81,6 +81,9 @@ class StreamingEngine:
             for _ in range(detect_depth + 3)
         ]
         self._canvas_i = 0
+        # resize geometry each pooled canvas was last written with; a change
+        # (frame dims changed) means stale pixels sit in the new padding region
+        self._canvas_geom: List = [None] * len(self._canvases)
         self._rank_name_cache = dict(rank_names)
 
         def detect(params, canvas_u8_bgr):
@@ -116,6 +119,10 @@ class StreamingEngine:
         r, nh, nw, top, left = letterbox_params((h, w), (self.imgsz, self.imgsz))
         self._canvas_i = (self._canvas_i + 1) % len(self._canvases)
         canvas = self._canvases[self._canvas_i]
+        geom = (nh, nw, top, left)
+        if self._canvas_geom[self._canvas_i] != geom:
+            canvas[:] = 114  # re-fill padding: frame dims changed for this slot
+            self._canvas_geom[self._canvas_i] = geom
         if nw == self.imgsz and canvas[top : top + nh].flags.c_contiguous:
             cv2.resize(frame, (nw, nh), dst=canvas[top : top + nh],
                        interpolation=cv2.INTER_LINEAR)

@@ -153,8 +153,9 @@ def train_detector(cfg: DetTrainConfig, log=print) -> Dict[str, float]:
     mosaic_flag = threading.Event()
     mosaic_flag.set()
 
-    def producer():
-        prng = np.random.default_rng(cfg.seed + 1)
+    def producer(idx: int):
+        # distinct stream per thread, else all producers emit identical batches
+        prng = np.random.default_rng(cfg.seed + 1 + idx)
         while not stop_flag.is_set():
             b = data_lib.make_detect_batch(
                 prng, train_samples, cfg.batch, cfg.imgsz, cfg.max_boxes,
@@ -168,7 +169,8 @@ def train_detector(cfg: DetTrainConfig, log=print) -> Dict[str, float]:
                     continue
 
     producer_threads = [
-        threading.Thread(target=producer, daemon=True) for _ in range(4)
+        threading.Thread(target=producer, args=(i,), daemon=True)
+        for i in range(4)
     ]
     for th in producer_threads:
         th.start()

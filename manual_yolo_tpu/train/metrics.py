@@ -74,11 +74,19 @@ def mean_average_precision(
                     fp[ri] = 1
                     continue
                 ious = _iou_matrix(box[None], gboxes)[0]
-                j = int(np.argmax(ious))
-                if ious[j] >= thr and not matched[img_i][j]:
-                    tp[ri] = 1
-                    matched[img_i][j] = True
-                else:
+                # COCO-style: best UNMATCHED GT above threshold (not just the
+                # single argmax, which undercounts when that GT is taken)
+                order = np.argsort(-ious)
+                hit = False
+                for j in order:
+                    if ious[j] < thr:
+                        break
+                    if not matched[img_i][j]:
+                        tp[ri] = 1
+                        matched[img_i][j] = True
+                        hit = True
+                        break
+                if not hit:
                     fp[ri] = 1
             ctp = np.cumsum(tp)
             cfp = np.cumsum(fp)

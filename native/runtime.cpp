@@ -32,25 +32,36 @@ extern "C" {
 // FrameRing: single-producer single-consumer ring of fixed-size frames.
 // ---------------------------------------------------------------------------
 
+// Drop-oldest with true SPSC safety: the producer NEVER writes tail (each
+// index is single-writer). Instead every slot carries a seqlock word —
+// 2*h+1 while item h is being written, 2*h+2 once stable — so when the
+// producer wraps over an unread slot, the consumer detects the overwrite
+// (sequence mismatch before/after its memcpy) and skips forward instead of
+// reading a torn frame.
 struct FrameRing {
   uint8_t *data;
+  std::atomic<uint64_t> *seq;  // per-slot seqlock word
   int64_t slot_bytes;
   int32_t slots;
-  std::atomic<uint64_t> head;  // next write sequence
-  std::atomic<uint64_t> tail;  // next read sequence
-  std::atomic<uint64_t> dropped;
+  std::atomic<uint64_t> head;  // next write sequence (producer-owned)
+  std::atomic<uint64_t> tail;  // next read sequence (consumer-owned)
+  std::atomic<uint64_t> dropped;  // approximate under wrap (stats only)
 };
 
 FrameRing *fr_create(int32_t slots, int64_t slot_bytes) {
   auto *r = new (std::nothrow) FrameRing();
   if (!r) return nullptr;
   r->data = new (std::nothrow) uint8_t[(size_t)slots * slot_bytes];
-  if (!r->data) {
+  r->seq = new (std::nothrow) std::atomic<uint64_t>[slots];
+  if (!r->data || !r->seq) {
+    delete[] r->data;
+    delete[] r->seq;
     delete r;
     return nullptr;
   }
   r->slot_bytes = slot_bytes;
   r->slots = slots;
+  for (int32_t i = 0; i < slots; ++i) r->seq[i].store(0);
   r->head.store(0);
   r->tail.store(0);
   r->dropped.store(0);
@@ -60,6 +71,7 @@ FrameRing *fr_create(int32_t slots, int64_t slot_bytes) {
 void fr_destroy(FrameRing *r) {
   if (!r) return;
   delete[] r->data;
+  delete[] r->seq;
   delete r;
 }
 
@@ -69,12 +81,15 @@ int64_t fr_push(FrameRing *r, const uint8_t *frame) {
   uint64_t h = r->head.load(std::memory_order_relaxed);
   uint64_t t = r->tail.load(std::memory_order_acquire);
   if (h - t >= (uint64_t)r->slots) {
-    // full: advance tail (drop oldest)
-    r->tail.compare_exchange_strong(t, t + 1, std::memory_order_acq_rel);
+    // Overwriting the oldest unread item; the consumer will notice via the
+    // slot's sequence word and skip it.
     r->dropped.fetch_add(1, std::memory_order_relaxed);
   }
-  std::memcpy(r->data + (h % r->slots) * r->slot_bytes, frame,
-              (size_t)r->slot_bytes);
+  uint64_t s = h % r->slots;
+  r->seq[s].store(2 * h + 1, std::memory_order_relaxed);
+  std::atomic_thread_fence(std::memory_order_release);
+  std::memcpy(r->data + s * r->slot_bytes, frame, (size_t)r->slot_bytes);
+  r->seq[s].store(2 * h + 2, std::memory_order_release);
   r->head.store(h + 1, std::memory_order_release);
   return (int64_t)h;
 }
@@ -83,22 +98,40 @@ int64_t fr_push(FrameRing *r, const uint8_t *frame) {
 // (live mode); otherwise FIFO. Returns sequence >= 0, or -1 if empty.
 int64_t fr_pop(FrameRing *r, uint8_t *out, int32_t skip_to_latest) {
   uint64_t t = r->tail.load(std::memory_order_relaxed);
-  uint64_t h = r->head.load(std::memory_order_acquire);
-  if (t >= h) return -1;
-  if (skip_to_latest && h - t > 1) {
-    uint64_t skipped = h - 1 - t;
-    r->dropped.fetch_add(skipped, std::memory_order_relaxed);
-    t = h - 1;
+  for (;;) {
+    uint64_t h = r->head.load(std::memory_order_acquire);
+    if (t >= h) {
+      r->tail.store(t, std::memory_order_relaxed);
+      return -1;
+    }
+    if (skip_to_latest && h - t > 1) {
+      r->dropped.fetch_add(h - 1 - t, std::memory_order_relaxed);
+      t = h - 1;
+    }
+    uint64_t s = t % r->slots;
+    uint64_t s1 = r->seq[s].load(std::memory_order_acquire);
+    if (s1 == 2 * t + 2) {
+      std::memcpy(out, r->data + s * r->slot_bytes, (size_t)r->slot_bytes);
+      std::atomic_thread_fence(std::memory_order_acquire);
+      uint64_t s2 = r->seq[s].load(std::memory_order_relaxed);
+      if (s1 == s2) {
+        r->tail.store(t + 1, std::memory_order_release);
+        return (int64_t)t;
+      }
+    }
+    // Item t was overwritten (or mid-write by a wrapped producer): skip it.
+    // The producer already counted the drop.
+    t += 1;
   }
-  std::memcpy(out, r->data + (t % r->slots) * r->slot_bytes,
-              (size_t)r->slot_bytes);
-  r->tail.store(t + 1, std::memory_order_release);
-  return (int64_t)t;
 }
 
 int64_t fr_dropped(FrameRing *r) { return (int64_t)r->dropped.load(); }
 int64_t fr_available(FrameRing *r) {
-  return (int64_t)(r->head.load() - r->tail.load());
+  uint64_t h = r->head.load(std::memory_order_acquire);
+  uint64_t t = r->tail.load(std::memory_order_acquire);
+  uint64_t n = h - t;
+  if (n > (uint64_t)r->slots) n = (uint64_t)r->slots;
+  return (int64_t)n;
 }
 
 // ---------------------------------------------------------------------------

@@ -80,6 +80,45 @@ def test_frame_ring_threaded():
     ring.close()
 
 
+def test_frame_ring_no_torn_frames_under_overrun():
+    """Producer overruns a tiny ring at full speed; every popped frame must
+    be internally consistent (uniform fill) — the wrap overwrite must never
+    hand the consumer a half-old half-new frame (seqlock slot protocol)."""
+    ring = native.FrameRing(2, (64, 64, 3))
+    stop = threading.Event()
+    torn = []
+    popped = [0]
+
+    def producer():
+        i = 0
+        while not stop.is_set():
+            ring.push(np.full((64, 64, 3), i % 251, np.uint8))
+            i += 1
+
+    def consumer():
+        import time
+
+        deadline = time.time() + 4.0
+        while popped[0] < 2000 and time.time() < deadline:
+            f = ring.pop(latest=False)
+            if f is None:
+                continue
+            popped[0] += 1
+            if int(f.min()) != int(f.max()):
+                torn.append((int(f.min()), int(f.max())))
+        stop.set()
+
+    tp = threading.Thread(target=producer, daemon=True)
+    tc = threading.Thread(target=consumer)
+    tp.start(); tc.start()
+    tc.join(timeout=10)
+    stop.set()
+    tp.join(timeout=5)
+    assert popped[0] >= 100
+    assert not torn, f"torn frames observed: {torn[:5]}"
+    ring.close()
+
+
 def test_jsonlog_append(tmp_path):
     p = str(tmp_path / "d.jsonl")
     log = native.JsonLog(p)
