@@ -1,4 +1,9 @@
-"""Hand-session CLI — equivalent of running reference ``pipe.py``."""
+"""Hand-session CLI — equivalent of running reference ``pipe.py``.
+
+Defaults come from :class:`manual_yolo_tpu.config.AppConfig` (``pipe``
+section mirrors the reference's constant block pipe.py:33-70); ``--config``
+loads a JSON/YAML override file, flags override that.
+"""
 
 from __future__ import annotations
 
@@ -6,19 +11,33 @@ import argparse
 
 
 def main(argv=None) -> int:
-    ap = argparse.ArgumentParser(description="Hand-session poker pipeline")
+    pre = argparse.ArgumentParser(add_help=False, allow_abbrev=False)
+    pre.add_argument("--config", default=None,
+                     help="JSON/YAML AppConfig file providing defaults")
+    pre_args, _ = pre.parse_known_args(argv)
+
+    from manual_yolo_tpu.config import AppConfig
+
+    cfg = AppConfig.load(pre_args.config)
+
+    ap = argparse.ArgumentParser(
+        description="Hand-session poker pipeline", parents=[pre]
+    )
     ap.add_argument("--source", default="screen")
-    ap.add_argument("--output-dir", default="hand_outputs")
-    ap.add_argument("--detector", default="weights/poker_detector.npz")
-    ap.add_argument("--ocr-weights", default="weights/crnn_synth.npz")
-    ap.add_argument("--imgsz", type=int, default=1280)  # pipe.py:41
-    ap.add_argument("--conf", type=float, default=0.35)  # pipe.py:42
-    ap.add_argument("--fps", type=int, default=6)  # pipe.py:36
-    ap.add_argument("--hand-timeout", type=float, default=6.0)  # pipe.py:60
-    ap.add_argument("--tile", type=int, default=640)
-    ap.add_argument("--tile-overlap", type=float, default=0.2)
+    ap.add_argument("--output-dir", default=cfg.pipe.output_folder)
+    ap.add_argument("--detector", default=cfg.detector.weights)
+    ap.add_argument("--ocr-weights",
+                    default=cfg.ocr.recognizer_weights or "weights/crnn_synth.npz")
+    ap.add_argument("--imgsz", type=int, default=cfg.pipe.yolo_imgsz)  # pipe.py:41
+    ap.add_argument("--conf", type=float, default=cfg.pipe.yolo_conf)  # pipe.py:42
+    ap.add_argument("--fps", type=int, default=cfg.pipe.input_fps)  # pipe.py:36
+    ap.add_argument("--hand-timeout", type=float, default=cfg.pipe.hand_timeout)
+    ap.add_argument("--tile", type=int, default=cfg.pipe.tile)
+    ap.add_argument("--tile-overlap", type=float, default=cfg.pipe.tile_overlap)
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--show", action="store_true", help="debug overlay window")
+    ap.add_argument("--stats", action="store_true",
+                    help="print per-stage timing stats on exit")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -30,6 +49,7 @@ def main(argv=None) -> int:
     from manual_yolo_tpu.runtime.engine import DetectorEngine
     from manual_yolo_tpu.runtime.hands import HandSessionPipeline
     from manual_yolo_tpu.runtime.ocr import default_ocr_engine
+    from manual_yolo_tpu.track.deepsort import DeepSortTracker
 
     params, meta = load_params(args.detector)
     sp = meta.get("spec", {})
@@ -38,7 +58,8 @@ def main(argv=None) -> int:
     names = {int(k): v for k, v in meta.get("names", {}).items()} or taxonomy.CLASSES
     engine = DetectorEngine(
         params, spec, names, imgsz=args.imgsz, conf=args.conf,
-        compute_dtype=jnp.bfloat16,
+        compute_dtype=jnp.bfloat16 if cfg.detector.compute_dtype == "bfloat16"
+        else jnp.float32,
     )
     pipeline = HandSessionPipeline(
         engine=engine,
@@ -46,10 +67,18 @@ def main(argv=None) -> int:
         hand_timeout=args.hand_timeout,
         tile=args.tile,
         tile_overlap=args.tile_overlap,
-        ocr=default_ocr_engine(args.ocr_weights),
+        ocr=default_ocr_engine(args.ocr_weights) if cfg.ocr.enabled else None,
+        tracker=DeepSortTracker(
+            max_age=cfg.pipe.deepsort_max_age,
+            n_init=cfg.pipe.deepsort_n_init,
+            max_cosine_distance=cfg.pipe.deepsort_max_cosine_distance,
+            nn_budget=cfg.pipe.deepsort_nn_budget,
+        ),
     )
     source = make_source(args.source)
     pipeline.run(source, fps=args.fps, max_frames=args.max_frames, show=args.show)
+    if args.stats:
+        print(pipeline.timer.report())
     return 0
 
 

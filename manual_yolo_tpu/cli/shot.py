@@ -4,6 +4,11 @@ Usage:
   python -m manual_yolo_tpu.cli.shot --image test_screenshot.png \
       --detector weights/poker_detector.npz \
       --classifier weights/rank_classifier_scratch.npz
+
+Defaults come from :class:`manual_yolo_tpu.config.AppConfig`; ``--config``
+loads a JSON/YAML override file, flags override that. The vision-LLM
+fallback (reference yolo.py:629-747) engages automatically when
+``OPENAI_API_KEY`` is set; force it off with ``--no-llm``.
 """
 
 from __future__ import annotations
@@ -14,18 +19,33 @@ import sys
 
 
 def main(argv=None) -> int:
-    ap = argparse.ArgumentParser(description="Poker single-screenshot detector")
+    pre = argparse.ArgumentParser(add_help=False, allow_abbrev=False)
+    pre.add_argument("--config", default=None,
+                     help="JSON/YAML AppConfig file providing defaults")
+    pre_args, _ = pre.parse_known_args(argv)
+
+    from manual_yolo_tpu.config import AppConfig
+
+    cfg = AppConfig.load(pre_args.config)
+
+    ap = argparse.ArgumentParser(
+        description="Poker single-screenshot detector", parents=[pre]
+    )
     ap.add_argument("--image", required=True, help="input screenshot path")
     ap.add_argument("--output-json", default="poker_result.json")
     ap.add_argument("--output-image", default="poker_labeled.png")
-    ap.add_argument("--detector", default="weights/poker_detector.npz")
-    ap.add_argument("--classifier", default="weights/rank_classifier_scratch.npz")
-    ap.add_argument("--imgsz", type=int, default=640)
+    ap.add_argument("--detector", default=cfg.detector.weights)
+    ap.add_argument("--classifier", default=cfg.rank.weights)
+    ap.add_argument("--imgsz", type=int, default=cfg.detector.imgsz)
     ap.add_argument("--conf", type=float, default=0.5)  # yolo.py:773 main uses 0.5
-    ap.add_argument("--iou", type=float, default=0.7)
-    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
-    ap.add_argument("--ocr-weights", default="weights/crnn_synth.npz")
+    ap.add_argument("--iou", type=float, default=cfg.detector.iou)
+    ap.add_argument("--dtype", default=cfg.detector.compute_dtype,
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--ocr-weights",
+                    default=cfg.ocr.recognizer_weights or "weights/crnn_synth.npz")
     ap.add_argument("--no-ocr", action="store_true", help="disable OCR fallback")
+    ap.add_argument("--no-llm", action="store_true",
+                    help="disable the vision-LLM fallback even if a key is set")
     ap.add_argument("--accumulate", action="store_true",
                     help="merge into existing output JSON fill-don't-overwrite")
     args = ap.parse_args(argv)
@@ -37,7 +57,7 @@ def main(argv=None) -> int:
         iou=args.iou, compute_dtype=args.dtype,
     )
     ocr = None
-    if not args.no_ocr:
+    if not args.no_ocr and cfg.ocr.enabled:
         try:
             from manual_yolo_tpu.runtime.ocr import default_ocr_engine
 
@@ -47,6 +67,7 @@ def main(argv=None) -> int:
     result = process_screenshot(
         pipeline, args.image, args.output_json, args.output_image, ocr=ocr,
         accumulate=args.accumulate,
+        use_llm_fallback=False if args.no_llm else None,
     )
     print(json.dumps(result, indent=2))
     print(f"saved {args.output_json} and {args.output_image}", file=sys.stderr)

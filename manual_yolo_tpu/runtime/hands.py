@@ -22,6 +22,7 @@ import numpy as np
 from manual_yolo_tpu.game import schema, taxonomy
 from manual_yolo_tpu.runtime.engine import DetectorEngine
 from manual_yolo_tpu.track.deepsort import DeepSortTracker
+from manual_yolo_tpu.utils.profiling import StageTimer
 
 
 def avg_bbox(history: deque) -> Tuple[int, int, int, int]:
@@ -45,6 +46,8 @@ class HandSessionPipeline:
             max_age=6, n_init=1, max_cosine_distance=0.25, nn_budget=100
         )
     )
+    # per-stage rolling wall times (detect/track/ocr); --stats in cli.pipe
+    timer: StageTimer = field(default_factory=StageTimer)
 
     def __post_init__(self):
         os.makedirs(self.output_dir, exist_ok=True)
@@ -145,23 +148,26 @@ class HandSessionPipeline:
 
     def step(self, frame: np.ndarray) -> Dict:
         ts = time.time()
-        dets = self._detect(frame)
-        active = self._update_tracks(frame, dets, ts)
+        with self.timer.stage("detect"):
+            dets = self._detect(frame)
+        with self.timer.stage("track"):
+            active = self._update_tracks(frame, dets, ts)
         buttons, input_area = self._buttons_and_input(active)
 
         # game-id OCR + change detection (pipe.py:309-328)
         if self.ocr is not None:
-            for d in dets:
-                if d["class_name"] != taxonomy.GAME_ID_CLASS:
-                    continue
-                crop = frame[d["y1"] : d["y2"], d["x1"] : d["x2"]]
-                gid = self.ocr(crop, taxonomy.GAME_ID_CLASS)
-                if gid:
-                    if self.last_game_id is None:
-                        self.last_game_id = gid
-                    elif gid != self.last_game_id:
-                        self.finalize_hand(buttons, input_area)
-                        self.last_game_id = gid
+            with self.timer.stage("ocr"):
+                for d in dets:
+                    if d["class_name"] != taxonomy.GAME_ID_CLASS:
+                        continue
+                    crop = frame[d["y1"] : d["y2"], d["x1"] : d["x2"]]
+                    gid = self.ocr(crop, taxonomy.GAME_ID_CLASS)
+                    if gid:
+                        if self.last_game_id is None:
+                            self.last_game_id = gid
+                        elif gid != self.last_game_id:
+                            self.finalize_hand(buttons, input_area)
+                            self.last_game_id = gid
 
         if (
             self.hand_start_ts

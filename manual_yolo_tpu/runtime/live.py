@@ -25,6 +25,7 @@ import numpy as np
 from manual_yolo_tpu.game.state import GameTracker
 from manual_yolo_tpu.runtime.pipeline import FusedPipeline
 from manual_yolo_tpu.track.bytetrack import ByteTrack
+from manual_yolo_tpu.utils.profiling import StageTimer
 
 
 @dataclass
@@ -37,6 +38,9 @@ class LiveLoop:
     show_window: bool = False
     ocr: Optional[object] = None  # OCREngine.read_field-compatible callable
     tracker: ByteTrack = field(default_factory=ByteTrack)
+    # per-stage rolling wall times (infer/ocr/track/persist); see
+    # utils/profiling.py — dumpable via the detect CLI's --stats flag
+    timer: StageTimer = field(default_factory=StageTimer)
 
     def __post_init__(self):
         os.makedirs(self.output_dir, exist_ok=True)
@@ -57,39 +61,57 @@ class LiveLoop:
 
     def step(self, frame_bgr: np.ndarray) -> Dict:
         t0 = time.time()
-        dets = self.pipeline.process_frame(frame_bgr)
+        with self.timer.stage("infer"):
+            dets = self.pipeline.process_frame(frame_bgr)
 
-        # OCR for non-rank text fields; per-field failures never kill the
-        # frame (reference resilience pattern, detect.py:227-229)
+        # OCR for text fields the fused program left empty. Rank classes land
+        # here only when the classifier was below threshold — they fall
+        # through to OCR exactly like the reference (detect.py:242-245).
+        # Per-field failures never kill the frame (detect.py:227-229).
         if self.ocr is not None:
             from manual_yolo_tpu.game import taxonomy
 
             todo = [
                 d for d in dets
-                if not d["ocr_text"]
-                and d["class_name"] in taxonomy.OCR_CLASSES
-                and d["class_name"] not in taxonomy.RANK_CLASSES
+                if not d["ocr_text"] and d["class_name"] in taxonomy.OCR_CLASSES
             ]
-            for d in todo:
-                x1, y1, x2, y2 = d["bbox"]
-                crop = frame_bgr[max(0, y1) : max(y1 + 1, y2), max(0, x1) : max(x1 + 1, x2)]
-                try:
-                    d["ocr_text"] = self.ocr(crop, d["class_name"]) or ""
-                except Exception as e:
-                    print(f"OCR error for {d['class_name']}: {e}")
+            if todo:
+                with self.timer.stage("ocr"):
+                    crops = []
+                    for d in todo:
+                        x1, y1, x2, y2 = d["bbox"]
+                        crops.append(
+                            frame_bgr[
+                                max(0, y1) : max(y1 + 1, y2),
+                                max(0, x1) : max(x1 + 1, x2),
+                            ]
+                        )
+                    read_fields = getattr(self.ocr, "read_fields", None)
+                    if read_fields is not None:
+                        # ONE device call per field kind instead of one per crop
+                        texts = read_fields(crops, [d["class_name"] for d in todo])
+                        for d, t in zip(todo, texts):
+                            d["ocr_text"] = t or ""
+                    else:
+                        for d, crop in zip(todo, crops):
+                            try:
+                                d["ocr_text"] = self.ocr(crop, d["class_name"]) or ""
+                            except Exception as e:
+                                print(f"OCR error for {d['class_name']}: {e}")
 
         # tracking errors degrade to untracked detections (detect.py:560-564)
         try:
-            tracked = self.tracker.update(
-                [
-                    {
-                        "x1": d["bbox"][0], "y1": d["bbox"][1],
-                        "x2": d["bbox"][2], "y2": d["bbox"][3],
-                        "conf": d["conf"], "class_id": d["class_id"],
-                    }
-                    for d in dets
-                ]
-            )
+            with self.timer.stage("track"):
+                tracked = self.tracker.update(
+                    [
+                        {
+                            "x1": d["bbox"][0], "y1": d["bbox"][1],
+                            "x2": d["bbox"][2], "y2": d["bbox"][3],
+                            "conf": d["conf"], "class_id": d["class_id"],
+                        }
+                        for d in dets
+                    ]
+                )
         except Exception as e:
             print(f"Tracking error: {e}")
             tracked = [dict(tracker_id=-1) for _ in dets]
@@ -115,13 +137,14 @@ class LiveLoop:
             )
             self._last_shot = now
 
-        self._jsonl.write(
-            json.dumps(
-                {"frame": self.frame_count, "timestamp": now, "detections": dets}
+        with self.timer.stage("persist"):
+            self._jsonl.write(
+                json.dumps(
+                    {"frame": self.frame_count, "timestamp": now, "detections": dets}
+                )
+                + "\n"
             )
-            + "\n"
-        )
-        self._jsonl.flush()
+            self._jsonl.flush()
 
         self.frame_count += 1
         return {

@@ -128,30 +128,21 @@ class OCREngine:
             out.append((text, c) if c >= min_confidence else ("", c))
         return out
 
-    def read_field(
-        self, crop_bgr: np.ndarray, class_name: str,
-        min_confidence: float = 0.35,
-    ) -> Optional[str]:
-        """Reference-parity single-field read with validation/normalisation."""
-        if crop_bgr is None or crop_bgr.size == 0:
-            return None
-        kind = field_kind(class_name)
+    @staticmethod
+    def _to_gray(crop_bgr: np.ndarray) -> np.ndarray:
         if crop_bgr.ndim == 3:
-            gray = np.asarray(
+            return np.asarray(
                 0.114 * crop_bgr[..., 0] + 0.587 * crop_bgr[..., 1]
                 + 0.299 * crop_bgr[..., 2],
                 np.float32,
             ) / 255.0
-        else:
-            gray = crop_bgr.astype(np.float32) / 255.0
-        low = class_name.lower()
-        if "turn" in low or "river" in low:
-            min_confidence = min(min_confidence, 0.15)  # detect.py:187
-        (text, conf), = self.read_batch([gray], kind, min_confidence=0.0)
-        if conf < min_confidence:
-            return None
+        return crop_bgr.astype(np.float32) / 255.0
+
+    @staticmethod
+    def _validate(kind: str, class_name_low: str, text: str) -> Optional[str]:
+        """Per-kind validation/normalisation (reference yolo.py:218-315)."""
         if kind == "card":
-            if low.endswith("_rank"):
+            if class_name_low.endswith("_rank"):
                 return normalize_rank_text(text) or None
             return extract_card_value(text)
         if kind == "numeric":
@@ -160,14 +151,79 @@ class OCREngine:
             return extract_name(text)
         return text or None
 
+    @staticmethod
+    def _field_threshold(class_name_low: str, min_confidence: float) -> float:
+        if "turn" in class_name_low or "river" in class_name_low:
+            return min(min_confidence, 0.15)  # detect.py:187
+        return min_confidence
+
+    def read_field(
+        self, crop_bgr: np.ndarray, class_name: str,
+        min_confidence: float = 0.35,
+    ) -> Optional[str]:
+        """Reference-parity single-field read with validation/normalisation."""
+        if crop_bgr is None or crop_bgr.size == 0:
+            return None
+        kind = field_kind(class_name)
+        gray = self._to_gray(crop_bgr)
+        low = class_name.lower()
+        (text, conf), = self.read_batch([gray], kind, min_confidence=0.0)
+        if conf < self._field_threshold(low, min_confidence):
+            return None
+        return self._validate(kind, low, text)
+
+    # make the engine itself usable where a read_field callable is expected
+    __call__ = read_field
+
+    def read_fields(
+        self,
+        crops_bgr: List[Optional[np.ndarray]],
+        class_names: List[str],
+        min_confidence: float = 0.35,
+    ) -> List[Optional[str]]:
+        """Batched :meth:`read_field`: ONE recognizer call per field *kind*
+        present instead of one device round trip per crop (the reference's
+        live loop reads each crop serially — SURVEY.md hot loop (2)).
+
+        Per-group failures degrade that group to unread (None) without
+        killing the rest of the frame.
+        """
+        out: List[Optional[str]] = [None] * len(class_names)
+        groups: Dict[str, List[int]] = {}
+        grays: List[Optional[np.ndarray]] = []
+        for i, (crop, name) in enumerate(zip(crops_bgr, class_names)):
+            if crop is None or crop.size == 0:
+                grays.append(None)
+                continue
+            grays.append(self._to_gray(crop))
+            groups.setdefault(field_kind(name), []).append(i)
+        for kind, idxs in groups.items():
+            try:
+                results = self.read_batch(
+                    [grays[i] for i in idxs], kind, min_confidence=0.0
+                )
+            except Exception as e:  # degrade the group, keep the frame alive
+                print(f"OCR batch error for kind={kind}: {e}")
+                continue
+            for i, (text, conf) in zip(idxs, results):
+                low = class_names[i].lower()
+                if conf < self._field_threshold(low, min_confidence):
+                    continue
+                out[i] = self._validate(kind, low, text)
+        return out
+
 
 def default_ocr_engine(
     weights: str = "weights/crnn_synth.npz",
-) -> Optional[Callable[[np.ndarray, str], Optional[str]]]:
-    """Build the shot-pipeline OCR hook, or None if no weights exist."""
+) -> Optional["OCREngine"]:
+    """Build the default OCR engine, or None if no weights exist.
+
+    The engine is itself callable with ``(crop_bgr, class_name)`` (the
+    read_field contract), and additionally exposes ``read_fields`` so
+    runtime loops can batch all of a frame's crops by field kind.
+    """
     import os
 
     if not os.path.exists(weights):
         return None
-    eng = OCREngine.from_npz(weights)
-    return eng.read_field
+    return OCREngine.from_npz(weights)

@@ -24,6 +24,52 @@ from manual_yolo_tpu.game.text import suit_char
 from manual_yolo_tpu.runtime.pipeline import FusedPipeline
 
 
+def _safe_crop(frame: np.ndarray, bbox: List[int]) -> np.ndarray:
+    x1, y1, x2, y2 = bbox
+    return frame[max(0, y1) : max(y1 + 1, y2), max(0, x1) : max(x1 + 1, x2)]
+
+
+def _llm_escalate(frame: np.ndarray, dets: List[Dict]) -> int:
+    """Vision-LLM fallback for important fields local reads left empty
+    (reference ``yolo.py:629-747``, gated on the API key like ``yolo.py:47``).
+
+    Builds a labelled collage of the failing crops, queries the LLM once,
+    validates each returned value with the same per-kind rules as OCR, and
+    fills the detections in place. Returns the number of fields filled.
+    """
+    from manual_yolo_tpu.runtime import llm_fallback
+    from manual_yolo_tpu.runtime.ocr import OCREngine, field_kind
+
+    important = set(llm_fallback.IMPORTANT_KEYS)
+    missing = [
+        d for d in dets
+        if not d.get("ocr_text")
+        and d["class_name"] in taxonomy.OCR_CLASSES
+        and d["class_name"] in important
+    ]
+    if not missing:
+        return 0
+    collage = llm_fallback.build_collage(
+        [(d["class_name"], _safe_crop(frame, d["bbox"])) for d in missing]
+    )
+    if collage is None:
+        return 0
+    values = llm_fallback.query_vision_llm(
+        collage, [d["class_name"] for d in missing]
+    )
+    filled = 0
+    for d in missing:
+        raw = values.get(d["class_name"])
+        if not raw:
+            continue
+        kind = field_kind(d["class_name"])
+        text = OCREngine._validate(kind, d["class_name"].lower(), str(raw))
+        if text:
+            d["ocr_text"] = text
+            filled += 1
+    return filled
+
+
 def process_screenshot(
     pipeline: FusedPipeline,
     image_path: str,
@@ -31,12 +77,15 @@ def process_screenshot(
     output_image: Optional[str] = "poker_labeled.png",
     ocr: Optional[Callable[[np.ndarray, str], Optional[str]]] = None,
     accumulate: bool = False,
+    use_llm_fallback: Optional[bool] = None,
 ) -> Dict:
     """Run the single-shot pipeline on an image file; returns the result dict.
 
     ``accumulate=True`` merges newly-read fields into the existing output
     JSON fill-don't-overwrite (the reference's ACCUMULATE_DATA mode,
-    ``yolo.py:599-603``).
+    ``yolo.py:599-603``). ``use_llm_fallback=None`` auto-enables the vision
+    LLM escalation when ``OPENAI_API_KEY`` is set (reference gating,
+    ``yolo.py:47,643-646``); the query degrades to a no-op offline.
     """
     import cv2
 
@@ -44,6 +93,31 @@ def process_screenshot(
     if frame is None:
         raise FileNotFoundError(f"cannot read image: {image_path}")
     dets = pipeline.process_frame(frame)
+
+    # pass 1: OCR every text field the fused program left empty (rank classes
+    # included — classifier-below-threshold falls through, detect.py:242-245)
+    if ocr is not None:
+        todo = [
+            d for d in dets
+            if not d.get("ocr_text") and d["class_name"] in taxonomy.OCR_CLASSES
+        ]
+        read_fields = getattr(ocr, "read_fields", None)
+        if todo and read_fields is not None:
+            texts = read_fields(
+                [_safe_crop(frame, d["bbox"]) for d in todo],
+                [d["class_name"] for d in todo],
+            )
+            for d, t in zip(todo, texts):
+                d["ocr_text"] = t or ""
+        else:
+            for d in todo:
+                d["ocr_text"] = ocr(_safe_crop(frame, d["bbox"]), d["class_name"]) or ""
+
+    # pass 2: vision-LLM escalation for still-empty important fields
+    if use_llm_fallback is None:
+        use_llm_fallback = bool(os.environ.get("OPENAI_API_KEY"))
+    if use_llm_fallback:
+        _llm_escalate(frame, dets)
 
     card_ranks: Dict[str, str] = {}
     card_suits: Dict[str, str] = {}
@@ -54,11 +128,6 @@ def process_screenshot(
         name = d["class_name"]
         x1, y1, x2, y2 = d["bbox"]
         text = d.get("ocr_text") or ""
-
-        if not text and ocr is not None and name in taxonomy.OCR_CLASSES:
-            crop = frame[max(0, y1) : max(y1 + 1, y2), max(0, x1) : max(x1 + 1, x2)]
-            text = ocr(crop, name) or ""
-            d["ocr_text"] = text
 
         if "_rank" in name and text:
             card_ranks[name] = text

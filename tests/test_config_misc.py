@@ -83,3 +83,56 @@ def test_fold_batchnorm_math():
     assert wf.shape == (3, 3, 3, 4)  # HWIO
     # for a zero conv output the folded bias must equal beta - gamma*mean/sqrt(var+eps)
     np.testing.assert_allclose(bf, b - m * g / np.sqrt(v + 1e-3), rtol=1e-5)
+
+
+def test_cli_consumes_config_file(tmp_path, monkeypatch):
+    """The shot CLI must source its defaults from AppConfig: a --config file
+    changes what reaches the pipeline; explicit flags still override."""
+    import manual_yolo_tpu.runtime.shot as shot_mod
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "detector": {"imgsz": 512, "iou": 0.55, "weights": "custom_det.npz"},
+        "rank": {"weights": "custom_cls.npz"},
+    }))
+    seen = {}
+
+    def fake_load(detector, classifier, imgsz, conf, iou, compute_dtype):
+        seen.update(detector=detector, classifier=classifier, imgsz=imgsz,
+                    conf=conf, iou=iou, dtype=compute_dtype)
+        return object()
+
+    def fake_process(pipeline, image, output_json, output_image, **kw):
+        seen["image"] = image
+        return {"ok": True}
+
+    monkeypatch.setattr(shot_mod, "load_fused_pipeline", fake_load)
+    monkeypatch.setattr(shot_mod, "process_screenshot", fake_process)
+    from manual_yolo_tpu.cli import shot as shot_cli
+
+    rc = shot_cli.main([
+        "--image", "x.png", "--config", str(cfg_path), "--no-ocr",
+        "--conf", "0.9",  # flag overrides config
+    ])
+    assert rc == 0
+    assert seen["imgsz"] == 512 and seen["iou"] == 0.55
+    assert seen["detector"] == "custom_det.npz"
+    assert seen["classifier"] == "custom_cls.npz"
+    assert seen["conf"] == 0.9
+
+
+def test_live_loop_stage_timer_populates(tmp_path):
+    """Runtime loops must actually feed the profiling subsystem."""
+    from manual_yolo_tpu.runtime.live import LiveLoop
+
+    class _P:
+        def process_frame(self, frame):
+            return [{"class_id": 34, "class_name": "my_stack",
+                     "bbox": [1, 1, 20, 10], "conf": 0.8, "ocr_text": ""}]
+
+    loop = LiveLoop(pipeline=_P(), output_dir=str(tmp_path))
+    loop.step(np.zeros((32, 32, 3), np.uint8))
+    loop.close()
+    stats = loop.timer.stats()
+    assert {"infer", "track", "persist"} <= set(stats)
+    assert stats["infer"]["n"] == 1

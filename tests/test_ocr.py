@@ -124,3 +124,40 @@ def test_ocr_engine_batch_and_gating():
     gated = eng.read_batch([crop], "numeric", min_confidence=0.9)
     assert gated[0][0] == ""
     assert eng.read_batch([], "numeric") == []
+
+
+def test_read_fields_one_device_call_per_kind():
+    """read_fields must group crops by field kind: 5 mixed fields spanning
+    2 kinds -> exactly 2 recognizer batches (not 5 round trips)."""
+    from manual_yolo_tpu.runtime.ocr import OCREngine
+
+    params = crnn.init_params(jax.random.PRNGKey(0), hidden=32)
+    eng = OCREngine(params, width=96)
+    calls = []
+    orig = eng.read_batch
+
+    def counting_read_batch(crops, kind, min_confidence=0.35):
+        calls.append((kind, len(crops)))
+        return orig(crops, kind, min_confidence=min_confidence)
+
+    eng.read_batch = counting_read_batch
+    rng = np.random.default_rng(0)
+    crops = [rng.integers(0, 255, (20, 50, 3), np.uint8) for _ in range(5)]
+    names = ["my_stack", "villian1_name", "total_pot", "villian2_name", "my_bet"]
+    out = eng.read_fields(crops, names)
+    assert len(out) == 5
+    assert sorted(calls) == [("name", 2), ("numeric", 3)]
+    # empty crops are skipped without a device call
+    calls.clear()
+    out = eng.read_fields([np.zeros((0, 0, 3), np.uint8), None], ["my_bet", "game_id"])
+    assert out == [None, None] and calls == []
+
+
+def test_engine_is_callable_as_read_field():
+    from manual_yolo_tpu.runtime.ocr import OCREngine
+
+    params = crnn.init_params(jax.random.PRNGKey(0), hidden=32)
+    eng = OCREngine(params, width=96)
+    crop = np.random.default_rng(0).integers(0, 255, (20, 50, 3), np.uint8)
+    # callable contract used by LiveLoop/shot when read_fields is absent
+    assert eng(crop, "my_stack") is None or isinstance(eng(crop, "my_stack"), str)

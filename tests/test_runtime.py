@@ -90,6 +90,101 @@ def test_live_loop_persists_jsonl(tmp_path, tiny_pipeline):
     assert (tmp_path / "game_1.json").exists()
 
 
+class _CannedPipeline:
+    """process_frame stub returning fixed detections (no device work)."""
+
+    def __init__(self, dets):
+        self._dets = dets
+
+    def process_frame(self, frame):
+        return [dict(d) for d in self._dets]
+
+
+class _SpyOCR:
+    """read_fields-style engine recording its (batched) invocations."""
+
+    def __init__(self, answers):
+        self.answers = answers
+        self.batch_calls = []
+
+    def read_fields(self, crops, names, min_confidence=0.35):
+        self.batch_calls.append(list(names))
+        return [self.answers.get(n) for n in names]
+
+
+def test_live_loop_rank_classifier_ocr_fallback(tmp_path):
+    """A rank detection the classifier left empty must fall through to OCR
+    (reference detect.py:242-245), batched with the other fields in ONE
+    read_fields call."""
+    from manual_yolo_tpu.runtime.live import LiveLoop
+
+    dets = [
+        # classifier below threshold -> empty ocr_text, must reach OCR
+        {"class_id": 6, "class_name": "card1_rank", "bbox": [10, 10, 40, 50],
+         "conf": 0.9, "ocr_text": ""},
+        # classifier confident -> already resolved, must NOT reach OCR
+        {"class_id": 11, "class_name": "card2_rank", "bbox": [50, 10, 80, 50],
+         "conf": 0.9, "ocr_text": "K"},
+        {"class_id": 34, "class_name": "my_stack", "bbox": [10, 60, 80, 80],
+         "conf": 0.8, "ocr_text": ""},
+    ]
+    ocr = _SpyOCR({"card1_rank": "6", "my_stack": "1.2k"})
+    loop = LiveLoop(
+        pipeline=_CannedPipeline(dets), output_dir=str(tmp_path), ocr=ocr
+    )
+    frame = np.zeros((100, 100, 3), np.uint8)
+    info = loop.step(frame)
+    loop.close()
+    assert ocr.batch_calls == [["card1_rank", "my_stack"]]
+    by_name = {d["class_name"]: d["ocr_text"] for d in info["detections"]}
+    assert by_name["card1_rank"] == "6"  # fallback filled it
+    assert by_name["card2_rank"] == "K"  # classifier read untouched
+    assert by_name["my_stack"] == "1.2k"
+
+
+def test_shot_llm_escalation(tmp_path, monkeypatch):
+    """Important fields still empty after OCR escalate to the vision LLM
+    (reference yolo.py:629-747) and land validated in the result JSON."""
+    import cv2
+
+    from manual_yolo_tpu.runtime import llm_fallback, shot
+
+    img = tmp_path / "t.png"
+    cv2.imwrite(str(img), np.zeros((100, 100, 3), np.uint8))
+    dets = [
+        {"class_id": 6, "class_name": "card1_rank", "bbox": [10, 10, 40, 50],
+         "conf": 0.9, "ocr_text": ""},
+        {"class_id": 34, "class_name": "my_stack", "bbox": [10, 60, 80, 80],
+         "conf": 0.8, "ocr_text": ""},
+        {"class_id": 60, "class_name": "villian1_name", "bbox": [5, 5, 60, 20],
+         "conf": 0.8, "ocr_text": ""},
+    ]
+    asked = {}
+
+    def fake_query(collage, missing_keys, **kw):
+        asked["keys"] = list(missing_keys)
+        # raw LLM output: needs validation (lowercase rank, junk chars)
+        return {"card1_rank": "a", "my_stack": "1.2k", "villian1_name": "bob_99"}
+
+    monkeypatch.setattr(llm_fallback, "query_vision_llm", fake_query)
+    out_json = tmp_path / "r.json"
+    res = shot.process_screenshot(
+        _CannedPipeline(dets), str(img), output_json=str(out_json),
+        output_image=None, use_llm_fallback=True,
+    )
+    assert sorted(asked["keys"]) == ["card1_rank", "my_stack", "villian1_name"]
+    assert res["card1"] == "A"  # validated/normalised rank
+    assert res["my_stack"] == "1.2K"  # numeric validator normalises suffix case
+    assert res["villains"][0]["name"] == "bob_99"
+    # disabled mode must not query
+    asked.clear()
+    shot.process_screenshot(
+        _CannedPipeline(dets), str(img), output_json=str(out_json),
+        output_image=None, use_llm_fallback=False,
+    )
+    assert not asked
+
+
 def test_hand_session_timeout_finalizes(tmp_path):
     """Button seen, then inactivity > timeout -> hand JSON written."""
     from manual_yolo_tpu.runtime.hands import HandSessionPipeline
