@@ -10,6 +10,15 @@ from __future__ import annotations
 import argparse
 
 
+def _load_embedder(weights: str):
+    try:
+        from manual_yolo_tpu.runtime.embedder import default_embedder
+
+        return default_embedder(weights)
+    except Exception:
+        return None
+
+
 def main(argv=None) -> int:
     pre = argparse.ArgumentParser(add_help=False, allow_abbrev=False)
     pre.add_argument("--config", default=None,
@@ -38,6 +47,8 @@ def main(argv=None) -> int:
     ap.add_argument("--show", action="store_true", help="debug overlay window")
     ap.add_argument("--stats", action="store_true",
                     help="print per-stage timing stats on exit")
+    ap.add_argument("--no-embedder", action="store_true",
+                    help="disable the appearance embedder (motion+IoU only)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -73,6 +84,8 @@ def main(argv=None) -> int:
             n_init=cfg.pipe.deepsort_n_init,
             max_cosine_distance=cfg.pipe.deepsort_max_cosine_distance,
             nn_budget=cfg.pipe.deepsort_nn_budget,
+            # deep-sort-realtime embeds by default (pipe.py:161-162)
+            embedder=None if args.no_embedder else _load_embedder(cfg.rank.weights),
         ),
     )
     source = make_source(args.source)

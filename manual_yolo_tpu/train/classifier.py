@@ -44,6 +44,10 @@ class ClsTrainConfig:
     scale: str = "n"
     seed: int = 0
     init_from: Optional[str] = None  # optional .pt to warm-start from
+    init_from_npz: Optional[str] = None  # optional native checkpoint warm start
+    # optional distribution-matched crops (train/matched_crops.py): co-trained
+    # with the folder dataset and evaluated as a second validation axis
+    matched_npz: Optional[str] = None
     compute_dtype: str = "float32"
 
 
@@ -88,6 +92,19 @@ def train_classifier(cfg: ClsTrainConfig, log=print) -> Dict[str, float]:
     )
     assert names == names_v, "train/valid class folders differ"
     nc = len(names)
+    x_val_m = y_val_m = None
+    if cfg.matched_npz:
+        from manual_yolo_tpu.train.matched_crops import load_matched_dataset
+
+        matched, names_m = load_matched_dataset(cfg.matched_npz)
+        assert names == names_m, "matched dataset class order differs"
+        xm, ym = matched["train"]
+        x_train = np.concatenate([x_train, xm])
+        y_train = np.concatenate([y_train, ym])
+        if "valid" in matched:
+            x_val_m, y_val_m = matched["valid"]
+        log(f"co-training with {len(xm)} matched crops "
+            f"(+{len(x_val_m) if x_val_m is not None else 0} matched valid)")
     log(f"train {len(x_train)} imgs, valid {len(x_val)} imgs, {nc} classes")
 
     spec = yolov8.build_spec("classify", cfg.scale, nc)
@@ -96,6 +113,10 @@ def train_classifier(cfg: ClsTrainConfig, log=print) -> Dict[str, float]:
 
         ckpt = load_torch_checkpoint(cfg.init_from)
         params = yolov8.import_torch_state(ckpt.state, spec, fold=False)
+    elif cfg.init_from_npz:
+        params, _meta = load_params(cfg.init_from_npz)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        log(f"warm-started from {cfg.init_from_npz}")
     else:
         params = yolov8.init_params(jax.random.PRNGKey(cfg.seed), spec)
 
@@ -151,6 +172,12 @@ def train_classifier(cfg: ClsTrainConfig, log=print) -> Dict[str, float]:
         )
         return top1, top5
 
+    def evaluate_matched(params) -> Optional[float]:
+        if x_val_m is None:
+            return None
+        logits = np.asarray(eval_logits(params, jnp.asarray(x_val_m)))
+        return float(np.mean(logits.argmax(-1) == y_val_m))
+
     def confusion(params) -> np.ndarray:
         logits = np.asarray(eval_logits(params, jnp.asarray(x_val)))
         pred = logits.argmax(-1)
@@ -172,25 +199,31 @@ def train_classifier(cfg: ClsTrainConfig, log=print) -> Dict[str, float]:
             )
             ep_loss += float(loss)
         top1, top5 = evaluate(params)
+        top1_m = evaluate_matched(params)
+        # selection score: worst of the two validation distributions, so the
+        # promoted checkpoint can't trade folder-crop parity for matched-crop
+        # accuracy (or vice versa)
+        score = top1 if top1_m is None else min(top1, top1_m)
         history.append({"epoch": epoch + 1, "loss": ep_loss / steps_per_epoch,
-                        "top1": top1, "top5": top5})
+                        "top1": top1, "top5": top5, "top1_matched": top1_m})
         log(
             f"epoch {epoch+1}/{cfg.epochs} loss {ep_loss/steps_per_epoch:.4f} "
-            f"top1 {top1:.4f} top5 {top5:.4f} ({time.time()-t0:.1f}s)"
+            f"top1 {top1:.4f} top5 {top5:.4f}"
+            + (f" top1_matched {top1_m:.4f}" if top1_m is not None else "")
+            + f" ({time.time()-t0:.1f}s)"
         )
-        if top1 > best_top1:
-            best_top1, best_epoch = top1, epoch
-            save_params(
-                cfg.out_path,
-                params,
-                meta={
-                    "names": {i: n for i, n in enumerate(names)},
-                    "spec": {"variant": "classify", "scale": cfg.scale, "nc": nc},
-                    "top1": top1,
-                    "top5": top5,
-                    "epoch": epoch + 1,
-                },
-            )
+        if score > best_top1:
+            best_top1, best_epoch = score, epoch
+            meta = {
+                "names": {i: n for i, n in enumerate(names)},
+                "spec": {"variant": "classify", "scale": cfg.scale, "nc": nc},
+                "top1": top1,
+                "top5": top5,
+                "epoch": epoch + 1,
+            }
+            if top1_m is not None:
+                meta["top1_matched"] = top1_m
+            save_params(cfg.out_path, params, meta=meta)
         if epoch - best_epoch >= cfg.patience:
             log(f"early stop at epoch {epoch+1} (best {best_top1:.4f} @ {best_epoch+1})")
             break
@@ -205,9 +238,13 @@ def train_classifier(cfg: ClsTrainConfig, log=print) -> Dict[str, float]:
     with open(os.path.join(run_dir, "args.json"), "w") as f:
         json.dump(dataclasses.asdict(cfg), f, indent=2)
     with open(os.path.join(run_dir, "results.csv"), "w") as f:
-        f.write("epoch,train_loss,top1,top5\n")
+        f.write("epoch,train_loss,top1,top5,top1_matched\n")
         for h in history:
-            f.write(f"{h['epoch']},{h['loss']:.5f},{h['top1']:.5f},{h['top5']:.5f}\n")
+            m = h.get("top1_matched")
+            f.write(
+                f"{h['epoch']},{h['loss']:.5f},{h['top1']:.5f},{h['top5']:.5f},"
+                + (f"{m:.5f}\n" if m is not None else "\n")
+            )
     best_params, _ = load_params(cfg.out_path)
     best_params = jax.tree_util.tree_map(jnp.asarray, best_params)
     cm = confusion(best_params)

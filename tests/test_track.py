@@ -92,3 +92,59 @@ def test_deepsort_class_votes_surface():
     assert t[0].det_class == "button_check"
     assert callable(t[0].to_ltrb)
     assert t[0].is_confirmed()
+
+
+def test_deepsort_appearance_resolves_iou_ambiguity():
+    """An ambiguous re-detection that IoU alone assigns to the WRONG track is
+    recovered by the appearance embedder (the reference's deep-sort-realtime
+    embeds by default, pipe.py:161-162)."""
+    import numpy as np
+
+    from manual_yolo_tpu.runtime.embedder import default_embedder
+    from manual_yolo_tpu.track.deepsort import DeepSortTracker
+
+    emb = default_embedder("weights/rank_classifier_scratch.npz")
+    assert emb is not None
+
+    rng = np.random.default_rng(0)
+    tex_a = rng.integers(0, 255, (40, 40, 3), np.uint8)  # noise texture
+    tex_b = np.zeros((40, 40, 3), np.uint8)
+    tex_b[..., 2] = 255  # flat red
+
+    box_a = [10, 10, 50, 50]
+    box_b = [10, 60, 50, 100]
+    # ambiguous position: IoU 0.11 with A's track, 0.38 with B's track
+    box_amb = [10, 42, 50, 82]
+
+    def frame(placements):
+        f = np.full((200, 200, 3), 32, np.uint8)
+        for (x1, y1, x2, y2), tex in placements:
+            f[y1:y2, x1:x2] = tex
+        return f
+
+    def run(tracker, use_frame):
+        id_a = id_b = None
+        for _ in range(3):
+            f = frame([(box_a, tex_a), (box_b, tex_b)])
+            tracks = tracker.update_tracks(
+                [(box_a, 0.9, "a"), (box_b, 0.9, "b")],
+                frame=f if use_frame else None,
+            )
+            pos = {tuple(np.round(t.to_ltrb()).astype(int)): t.track_id
+                   for t in tracks}
+            id_a = pos.get(tuple(box_a), id_a)
+            id_b = pos.get(tuple(box_b), id_b)
+        # object A re-appears at the ambiguous position; B is occluded
+        f = frame([(box_amb, tex_a)])
+        tracks = tracker.update_tracks(
+            [(box_amb, 0.9, "a")], frame=f if use_frame else None
+        )
+        assert len(tracks) == 1
+        return tracks[0].track_id, id_a, id_b
+
+    # IoU-only: the ambiguous detection steals B's identity
+    got, id_a, id_b = run(DeepSortTracker(), use_frame=False)
+    assert got == id_b
+    # appearance: identity follows the texture, not the nearest box
+    got, id_a, id_b = run(DeepSortTracker(embedder=emb), use_frame=True)
+    assert got == id_a
