@@ -69,7 +69,7 @@ def build_stream():
     from manual_yolo_tpu.runtime.serving import BatchStream, load_batch_stream
 
     det_w = os.path.join(ROOT, "weights", "poker_detector.npz")
-    cls_w = os.path.join(ROOT, "weights", "rank_classifier_scratch.npz")
+    cls_w = os.path.join(ROOT, "weights", "rank_classifier_matched.npz")
     if os.path.exists(det_w) and os.path.exists(cls_w):
         return load_batch_stream(det_w, cls_w, batch=BATCH)
 

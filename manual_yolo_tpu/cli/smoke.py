@@ -15,7 +15,7 @@ import sys
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Framework smoke check")
     ap.add_argument("--detector", default="weights/poker_detector.npz")
-    ap.add_argument("--classifier", default="weights/rank_classifier_scratch.npz")
+    ap.add_argument("--classifier", default="weights/rank_classifier_matched.npz")
     ap.add_argument("--ocr-weights", default="weights/crnn_synth.npz")
     args = ap.parse_args(argv)
 

@@ -18,6 +18,8 @@ def main(argv=None) -> int:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--scale", default="n")
     ap.add_argument("--eval-every", type=int, default=10)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from last_<scale>.npz next to --out")
     args = ap.parse_args(argv)
 
     from manual_yolo_tpu.train.detector import DetTrainConfig, train_detector
@@ -26,6 +28,7 @@ def main(argv=None) -> int:
         data_root=args.data, out_path=args.out, epochs=args.epochs,
         batch=args.batch, imgsz=args.imgsz, patience=args.patience,
         lr=args.lr, scale=args.scale, eval_every=args.eval_every,
+        resume=args.resume,
     )
     res = train_detector(cfg)
     print(json.dumps({k: v for k, v in res.items() if k != "history"}, indent=2))

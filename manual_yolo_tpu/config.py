@@ -34,7 +34,10 @@ class DetectorConfig:
 
 @dataclass
 class RankClassifierConfig:
-    weights: str = "weights/rank_classifier_scratch.npz"
+    # trained on folder crops + distribution-matched device crops; top-1
+    # 0.9552 on the reference valid split (ref best 0.9403, BASELINE.md) and
+    # 0.9552 on pipeline-matched crops (runs_tpu/rank_classifier_matched)
+    weights: str = "weights/rank_classifier_matched.npz"
     conf_threshold: float = 0.40  # detect.py:131
     turn_river_threshold: float = 0.20  # detect.py:129
     crop_pad: int = 6  # safe_crop pad, detect.py:586

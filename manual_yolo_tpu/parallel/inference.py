@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from manual_yolo_tpu.models import yolov8
 from manual_yolo_tpu.ops import nms as nms_ops
-from manual_yolo_tpu.ops.letterbox import letterbox
+from manual_yolo_tpu.ops.letterbox import letterbox, unletterbox_boxes
 
 
 class ShardedDetector:
@@ -46,20 +46,28 @@ class ShardedDetector:
         H = W = imgsz
 
         def run(params, frames):
-            # frames: (B, H0, W0, 3) uint8 BGR, already letterbox-sized or raw
+            # frames: (B, H0, W0, 3) uint8 BGR; boxes come back in SOURCE
+            # pixel coordinates (same contract as runtime.engine)
+            src_hw = frames.shape[1:3]
+
             def one(frame):
                 rgb = frame[..., ::-1]
-                canvas, _, _ = letterbox(rgb, (H, W), scaleup=True)
-                return canvas
+                canvas, ratio, pad = letterbox(rgb, (H, W), scaleup=True)
+                return canvas, ratio, pad
 
-            canvases = jax.vmap(one)(frames)
+            canvases, ratios, pads = jax.vmap(one)(frames)
             raw = yolov8.forward_detect_raw(params, spec, canvases, compute_dtype)
             boxes, scores = yolov8.decode_boxes(raw, (H, W), spec.strides)
-            return jax.vmap(
-                lambda b, s: nms_ops.nms(
+
+            def post(b, s, ratio, pad):
+                det = nms_ops.nms(
                     b, s, conf_thres=conf, iou_thres=iou, max_det=max_det
                 )
-            )(boxes, scores)
+                out = unletterbox_boxes(det.boxes, ratio, pad, src_hw)
+                out = jnp.where(det.scores[:, None] > 0, out, 0.0)
+                return nms_ops.Detections(out, det.scores, det.classes, det.count)
+
+            return jax.vmap(post)(boxes, scores, ratios, pads)
 
         self._run = jax.jit(
             run,

@@ -91,7 +91,7 @@ class AppearanceEmbedder:
 
 
 def default_embedder(
-    weights: str = "weights/rank_classifier_scratch.npz",
+    weights: str = "weights/rank_classifier_matched.npz",
 ) -> Optional[AppearanceEmbedder]:
     import os
 

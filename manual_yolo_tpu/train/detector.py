@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from manual_yolo_tpu.core.serialization import save_params
+from manual_yolo_tpu.core.serialization import load_params, save_params
 from manual_yolo_tpu.models import yolov8
 from manual_yolo_tpu.ops import nms as nms_ops
 from manual_yolo_tpu.train import data as data_lib
@@ -51,6 +51,9 @@ class DetTrainConfig:
     compute_dtype: str = "bfloat16"
     eval_every: int = 5
     conf_eval: float = 0.001
+    # resume an interrupted run from last_<scale>.npz next to out_path
+    # (ultralytics `resume` semantics, reference args.yaml:27)
+    resume: bool = False
 
 
 def _decode_eval(det: nms_ops.Detections) -> Dict[str, np.ndarray]:
@@ -128,6 +131,50 @@ def train_detector(cfg: DetTrainConfig, log=print) -> Dict[str, float]:
     )
     opt_state = tx.init(params)
 
+    last_path = os.path.join(
+        os.path.dirname(os.path.abspath(cfg.out_path)), f"last_{cfg.scale}.npz"
+    )
+    start_epoch, step = 0, 0
+    best_map, best_epoch = -1.0, -1
+    if cfg.resume and os.path.exists(last_path):
+        # the serializer stores pytrees as plain containers; optimizer state
+        # is restored leaf-wise into a freshly-built tx.init structure
+        ckpt, cmeta = load_params(last_path, dtype=None)
+        params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+        ema_params = jax.tree_util.tree_map(jnp.asarray, ckpt["ema"])
+        opt_state = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(opt_state),
+            [jnp.asarray(l) for l in jax.tree_util.tree_leaves(ckpt["opt"])],
+        )
+        start_epoch = int(cmeta["epoch"])
+        step = int(cmeta["step"])
+        best_map = float(cmeta["best_map"])
+        best_epoch = int(cmeta["best_epoch"])
+        log(
+            f"resumed from {last_path}: epoch {start_epoch}, step {step}, "
+            f"best map50 {best_map:.4f} @ {best_epoch+1}"
+        )
+
+    def save_last(epoch_done: int):
+        # full-precision snapshot: fp16 would corrupt Adam moments
+        save_params(
+            last_path,
+            {
+                "params": params,
+                "ema": ema_params,
+                "opt": list(jax.tree_util.tree_leaves(opt_state)),
+            },
+            meta={
+                "epoch": epoch_done,
+                "step": step,
+                "best_map": best_map,
+                "best_epoch": best_epoch,
+                "spec": {"variant": "detect", "scale": cfg.scale, "nc": nc},
+                "names": {int(k): v for k, v in names.items()},
+            },
+            dtype=None,
+        )
+
     @jax.jit
     def train_step(params, ema_params, opt_state, step, x, t, m):
         def loss_fn(p):
@@ -175,10 +222,9 @@ def train_detector(cfg: DetTrainConfig, log=print) -> Dict[str, float]:
     for th in producer_threads:
         th.start()
 
-    best_map, best_epoch, t0 = -1.0, -1, time.time()
-    step = 0
+    t0 = time.time()
     history = []
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         mosaic_on = epoch < cfg.epochs - cfg.close_mosaic
         if mosaic_on:
             mosaic_flag.set()
@@ -226,7 +272,9 @@ def train_detector(cfg: DetTrainConfig, log=print) -> Dict[str, float]:
             if epoch - best_epoch >= cfg.patience:
                 log(line)
                 log(f"early stop (best map50 {best_map:.4f} @ epoch {best_epoch+1})")
+                save_last(epoch + 1)
                 break
+        save_last(epoch + 1)
         log(line + f" ({time.time()-t0:.0f}s)")
     stop_flag.set()
     # artifacts next to the checkpoint (args + per-eval metrics)

@@ -1,0 +1,90 @@
+"""End-to-end goldens on the real screenshot (``/root/reference/test2.png``)
+with the committed weights — so perf work can't silently change accuracy.
+
+Ground truth (verified visually): hero cards 6h/Kd, flop {2h, 2s, 3c},
+5 villains with stacks 18.6K/19.6K/24.6K/4.6K, pot 3K.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TEST2 = "/root/reference/test2.png"
+GOLDEN = os.path.join(REPO, "tests", "golden", "test2_detections.json")
+
+
+def _have_assets():
+    return (
+        os.path.exists(TEST2)
+        and os.path.exists(os.path.join(REPO, "weights", "poker_detector.npz"))
+        and os.path.exists(
+            os.path.join(REPO, "weights", "rank_classifier_matched.npz")
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def real_pipeline():
+    if not _have_assets():
+        pytest.skip("real weights / test2.png not present")
+    from manual_yolo_tpu.runtime.shot import load_fused_pipeline
+
+    return load_fused_pipeline(
+        os.path.join(REPO, "weights", "poker_detector.npz"),
+        os.path.join(REPO, "weights", "rank_classifier_matched.npz"),
+        imgsz=640, conf=0.5, iou=0.7, compute_dtype="bfloat16",
+    )
+
+
+@pytest.fixture(scope="module")
+def test2_dets(real_pipeline):
+    import cv2
+
+    frame = cv2.imread(TEST2)
+    return real_pipeline.process_frame(frame)
+
+
+def test_fused_pipeline_golden_snapshot(test2_dets):
+    """Full boxes+classes+rank-text snapshot. Regenerate deliberately (see
+    tests/golden/) when weights are retrained — never silently."""
+    golden = json.load(open(GOLDEN))
+    got = sorted(
+        test2_dets, key=lambda d: (d["class_id"], d["bbox"][0], d["bbox"][1])
+    )
+    assert [d["class_name"] for d in got] == [g["class_name"] for g in golden]
+    for d, g in zip(got, golden):
+        assert np.abs(np.asarray(d["bbox"]) - np.asarray(g["bbox"])).max() <= 3, (
+            d["class_name"], d["bbox"], g["bbox"])
+        if g["class_name"].endswith("_rank"):
+            assert d["ocr_text"] == g["ocr_text"], g["class_name"]
+
+
+def test_hero_cards_read_correctly(test2_dets):
+    """The round-1 example misread hero 6h as 4h (VERDICT); the
+    distribution-matched classifier must read both hero cards right."""
+    ranks = {d["class_name"]: d["ocr_text"] for d in test2_dets
+             if d["class_name"].endswith("_rank")}
+    assert ranks.get("card1_rank") == "6"
+    assert ranks.get("card2_rank") == "K"
+
+
+def test_flop_cards_read_correctly(test2_dets):
+    from manual_yolo_tpu.game.text import suit_char
+
+    ranks, suits = {}, {}
+    for d in test2_dets:
+        n = d["class_name"]
+        if n.endswith("_rank"):
+            ranks[n] = d["ocr_text"]
+        elif "_suite_" in n:
+            suits[n.split("_suite_")[0]] = suit_char(n)
+    flop = {
+        ranks.get(f"flop{i}_rank", "") + suits.get(f"flop{i}", "")
+        for i in (1, 2, 3)
+    }
+    assert flop == {"2h", "2s", "3c"}

@@ -44,12 +44,25 @@ def test_sharded_batch_inference_matches_single_device(eight_devices):
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 255, (8, 96, 96, 3), np.uint8)
     det_s = jax.device_get(sharded(frames))
-
-    # single-device reference on frame 0 (letterbox-canvas space comparison)
-    det_1 = jax.device_get(single.detect_batch(frames[:1]))
-    # counts must match for the same frame through both paths
-    assert int(det_s.count[0]) == int(det_1.count[0])
     assert det_s.boxes.shape[0] == 8
+
+    # single-device reference over ALL frames: counts, classes, scores and
+    # box coordinates must match the sharded path exactly per frame
+    det_1 = jax.device_get(single.detect_batch(frames))
+    for i in range(8):
+        n_s, n_1 = int(det_s.count[i]), int(det_1.count[i])
+        assert n_s == n_1, f"frame {i}: count {n_s} != {n_1}"
+        np.testing.assert_array_equal(
+            det_s.classes[i][:n_s], det_1.classes[i][:n_1], err_msg=f"frame {i}"
+        )
+        np.testing.assert_allclose(
+            det_s.scores[i][:n_s], det_1.scores[i][:n_1], atol=1e-5,
+            err_msg=f"frame {i}",
+        )
+        np.testing.assert_allclose(
+            det_s.boxes[i][:n_s], det_1.boxes[i][:n_1], atol=1e-3,
+            err_msg=f"frame {i}",
+        )
 
 
 def test_sharded_batch_pads_ragged(eight_devices):

@@ -1,5 +1,7 @@
 """Training-stack unit tests: TAL assignment, detection loss, data pipeline."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -151,3 +153,51 @@ def test_map_metric_perfect_and_miss():
              "scores": np.array([0.9])}]
     res2 = mean_average_precision(miss, gts)
     assert res2["map50"] < 0.01
+
+
+def test_detector_trainer_resume(tmp_path):
+    """Interrupt a run after 2 epochs, resume to 4: the resumed run starts at
+    epoch 3 with optimizer state and best-metric bookkeeping intact."""
+    import json
+
+    import cv2
+
+    from manual_yolo_tpu.train.detector import DetTrainConfig, train_detector
+
+    # tiny synthetic YOLO dataset: 4 train / 2 valid images, 2 classes
+    rng = np.random.default_rng(0)
+    for split, n in (("train", 4), ("valid", 2)):
+        os.makedirs(tmp_path / split / "images", exist_ok=True)
+        os.makedirs(tmp_path / split / "labels", exist_ok=True)
+        for i in range(n):
+            img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+            img[16:48, 16:48] = (255, 0, 0)
+            cv2.imwrite(str(tmp_path / split / "images" / f"i{i}.jpg"), img)
+            (tmp_path / split / "labels" / f"i{i}.txt").write_text(
+                f"{i % 2} 0.5 0.5 0.5 0.5\n"
+            )
+    (tmp_path / "data.yaml").write_text("names: ['a', 'b']\nnc: 2\n")
+
+    out = tmp_path / "runs" / "best.npz"
+    base = dict(
+        data_root=str(tmp_path), out_path=str(out), batch=2, imgsz=64,
+        max_boxes=4, steps_per_epoch=2, eval_every=1, patience=50,
+        compute_dtype="float32", close_mosaic=0,
+    )
+    logs1 = []
+    train_detector(DetTrainConfig(epochs=2, **base), log=logs1.append)
+    last = tmp_path / "runs" / "last_n.npz"
+    assert last.exists()
+
+    logs2 = []
+    train_detector(DetTrainConfig(epochs=4, resume=True, **base),
+                   log=logs2.append)
+    joined = "\n".join(str(l) for l in logs2)
+    assert "resumed from" in joined and "epoch 2, step 4" in joined
+    assert "epoch 3/4" in joined and "epoch 1/4" not in joined
+
+    # resumed last checkpoint carries the continued counters
+    from manual_yolo_tpu.core.serialization import load_params
+
+    _, meta = load_params(str(last))
+    assert meta["epoch"] == 4 and meta["step"] == 8

@@ -53,6 +53,18 @@ def test_classifier_checkpoint():
     )
 
 
+def test_matched_classifier_checkpoint():
+    """The default classifier: must beat reference parity on BOTH valid
+    distributions (folder crops AND fused-pipeline crops)."""
+    params, meta = _load("rank_classifier_matched.npz")
+    assert meta["spec"]["nc"] == 13
+    assert float(meta["top1"]) >= 0.9403  # reference best, BASELINE.md
+    assert float(meta["top1_matched"]) >= 0.94
+    assert sorted(meta["names"].values()) == sorted(
+        ["10", "2", "3", "4", "5", "6", "7", "8", "9", "A", "J", "K", "Q"]
+    )
+
+
 def test_ocr_checkpoint():
     from manual_yolo_tpu.models import crnn
 
