@@ -1,0 +1,134 @@
+"""Real-crop OCR evaluation against human-transcribed ground truth.
+
+``data/ocr_real/labels.json`` holds 600+ transcriptions of REAL UI crops
+from the reference assets (dataset test/valid splits + test2.png) — the
+self-referential synthetic eval the round-1 README leaned on is replaced by
+this measured artifact. Both truth and prediction are normalised through the
+same per-kind validator, so the score is end-to-end field accuracy.
+
+Usage:
+  python -m manual_yolo_tpu.cli.eval_ocr --weights weights/crnn_synth.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from collections import defaultdict
+
+DATASET_ROOT = "/root/reference/roadmap1.v3i.yolov8"
+TEST2 = "/root/reference/test2.png"
+
+
+def load_real_crops(labels_path: str, dataset_root: str = DATASET_ROOT,
+                    pad: int = 2, splits=None):
+    """Yield (crop_bgr, class_name, truth_text) for every labelled item.
+
+    ``splits`` restricts to sources ('test', 'valid', 'test2'); None = all.
+    """
+    import cv2
+
+    d = json.load(open(labels_path))
+    img_cache = {}
+    for it in d["items"]:
+        if not it.get("text"):
+            continue
+        split = it["src"].split("/", 1)[0] if "/" in it["src"] else it["src"]
+        if splits is not None and split not in splits:
+            continue
+        if it["src"] == "test2":
+            if "test2" not in img_cache:
+                img_cache["test2"] = cv2.imread(TEST2)
+            img = img_cache["test2"]
+            if img is None:
+                continue
+            x1, y1, x2, y2 = it["bbox"]
+        else:
+            split, stem = it["src"].split("/", 1)
+            key = it["src"]
+            if key not in img_cache:
+                img_cache[key] = cv2.imread(
+                    os.path.join(dataset_root, split, "images", stem + ".jpg")
+                )
+            img = img_cache[key]
+            if img is None:
+                continue
+            h, w = img.shape[:2]
+            lbl = os.path.join(dataset_root, split, "labels", it["src"].split("/", 1)[1] + ".txt")
+            lines = [l for l in open(lbl).read().splitlines() if l.strip()]
+            parts = lines[it["row"]].split()
+            xc, yc, bw, bh = (float(v) for v in parts[1:5])
+            x1, y1 = int((xc - bw / 2) * w), int((yc - bh / 2) * h)
+            x2, y2 = int((xc + bw / 2) * w), int((yc + bh / 2) * h)
+        crop = img[max(0, y1 - pad) : y2 + pad, max(0, x1 - pad) : x2 + pad]
+        if crop.size == 0:
+            continue
+        yield crop, it["class"], it["text"]
+
+
+def evaluate_real(engine, labels_path: str, min_confidence: float = 0.0,
+                  splits=("test", "test2")):
+    """Exact-match accuracy per field kind on the real-crop set.
+
+    Defaults to the held-out sources (dataset 'test' split + test2.png);
+    the 'valid' split is reserved as fine-tune data (train/ocr.py).
+    min_confidence=0 scores raw reading quality; pass the runtime gate
+    (0.35) to score the deployed operating point instead.
+    """
+    from manual_yolo_tpu.runtime.ocr import OCREngine, field_kind
+
+    items = list(load_real_crops(labels_path, splits=splits))
+    crops = [c for c, _, _ in items]
+    names = [n for _, n, _ in items]
+    preds = engine.read_fields(crops, names, min_confidence=min_confidence)
+
+    per_kind = defaultdict(lambda: [0, 0])
+    rows = []
+    for (crop, cname, truth), pred in zip(items, preds):
+        kind = field_kind(cname)
+        truth_norm = OCREngine._validate(kind, cname.lower(), truth)
+        ok = (pred or "") == (truth_norm or "")
+        per_kind[kind][0] += int(ok)
+        per_kind[kind][1] += 1
+        rows.append({"class": cname, "truth": truth_norm, "pred": pred, "ok": ok})
+    total_ok = sum(v[0] for v in per_kind.values())
+    total_n = sum(v[1] for v in per_kind.values())
+    return {
+        "exact_match": total_ok / max(total_n, 1),
+        "n": total_n,
+        "per_kind": {
+            k: {"acc": v[0] / v[1], "n": v[1]} for k, v in sorted(per_kind.items())
+        },
+        "rows": rows,
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Evaluate OCR on real UI crops")
+    ap.add_argument("--weights", default="weights/crnn_synth.npz")
+    ap.add_argument("--labels", default="data/ocr_real/labels.json")
+    ap.add_argument("--min-confidence", type=float, default=0.0)
+    ap.add_argument("--splits", default="test,test2",
+                    help="comma-separated sources (test, valid, test2)")
+    ap.add_argument("--dump-errors", default=None,
+                    help="write mismatching rows to this JSON file")
+    args = ap.parse_args(argv)
+
+    from manual_yolo_tpu.runtime.ocr import OCREngine
+
+    engine = OCREngine.from_npz(args.weights)
+    res = evaluate_real(
+        engine, args.labels, args.min_confidence,
+        splits=tuple(args.splits.split(",")),
+    )
+    errs = [r for r in res.pop("rows") if not r["ok"]]
+    print(json.dumps(res, indent=2))
+    if args.dump_errors:
+        json.dump(errs, open(args.dump_errors, "w"), indent=1)
+        print(f"{len(errs)} errors -> {args.dump_errors}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -15,6 +15,12 @@ def main(argv=None) -> int:
     ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--pool-size", type=int, default=20000)
+    ap.add_argument("--real-labels", default="",
+                    help="data/ocr_real/labels.json to mix real crops in")
+    ap.add_argument("--real-splits", default="valid",
+                    help="comma-separated real sources for TRAINING "
+                         "(test/test2 stay eval-only)")
+    ap.add_argument("--real-frac", type=float, default=0.35)
     args = ap.parse_args(argv)
 
     from manual_yolo_tpu.train.ocr import OCRTrainConfig, train_ocr
@@ -22,7 +28,8 @@ def main(argv=None) -> int:
     cfg = OCRTrainConfig(
         out_path=args.out, steps=args.steps, batch=args.batch,
         width=args.width, hidden=args.hidden, lr=args.lr,
-        pool_size=args.pool_size,
+        pool_size=args.pool_size, real_labels=args.real_labels,
+        real_splits=tuple(args.real_splits.split(",")), real_frac=args.real_frac,
     )
     res = train_ocr(cfg)
     print(json.dumps(res, indent=2))

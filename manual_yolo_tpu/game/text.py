@@ -94,7 +94,9 @@ def extract_numeric_value(text: str) -> Optional[str]:
         return None
     t = text.upper().replace("$", "").replace("O", "0").replace("I", "1").strip()
     t = t.replace(",", "")
-    m = re.search(r"[\d.]+[kKmMbB]?", t)
+    # suffixes the poker UI uses: K (thousand), L (lakh), M, B, and big-blind
+    # denominations like "25BB" / "1.24KBB"
+    m = re.search(r"[\d.]+(?:[KML]?BB|[KMBL])?", t)
     return m.group() if m else None
 
 

@@ -178,7 +178,10 @@ def preprocess_gray(crop_gray: np.ndarray, target_w: int) -> np.ndarray:
     h, w = crop_gray.shape[:2]
     scale = IMG_H / max(h, 1)
     nw = max(1, min(target_w, int(round(w * scale))))
-    resized = cv2.resize(crop_gray, (nw, IMG_H), interpolation=cv2.INTER_LINEAR)
+    # cubic when UPSCALING small text (reference OCR pass 3 upscales 2x
+    # INTER_CUBIC, detect.py:215-221); linear when shrinking
+    interp = cv2.INTER_CUBIC if scale > 1.0 else cv2.INTER_LINEAR
+    resized = cv2.resize(crop_gray, (nw, IMG_H), interpolation=interp)
     canvas = np.full((IMG_H, target_w), float(np.median(resized[:, -1])), np.float32)
     canvas[:, :nw] = resized
     return canvas

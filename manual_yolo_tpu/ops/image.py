@@ -223,3 +223,60 @@ def enhance_for_ocr_card(gray: jnp.ndarray, upscale: int = 3) -> jnp.ndarray:
     x = sharpen(x)
     x = adaptive_threshold_gaussian(x, 11)
     return morph_close(x, 2)
+
+
+def estimate_skew_angle(gray: jnp.ndarray, max_deg: float = 15.0) -> jnp.ndarray:
+    """Estimate text-line skew (radians) from the second moments of the
+    ink mask — the XLA-friendly equivalent of the reference's
+    ``cv2.minAreaRect`` deskew angle (``pipe.py:249-261``): the principal
+    axis of an unskewed text line is horizontal, so the axis tilt IS the
+    skew. Clamped to ±``max_deg`` degrees; near-empty masks return 0."""
+    thr = otsu_threshold(gray)
+    # ink = darker-than-threshold by default; pick the minority side so
+    # light-on-dark UIs work too
+    dark = (gray < thr).astype(jnp.float32)
+    mask = jnp.where(jnp.mean(dark) <= 0.5, dark, 1.0 - dark)
+    h, w = gray.shape
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    m = jnp.sum(mask) + 1e-6
+    cy = jnp.sum(mask * ys) / m
+    cx = jnp.sum(mask * xs) / m
+    mu20 = jnp.sum(mask * (xs - cx) ** 2) / m
+    mu02 = jnp.sum(mask * (ys - cy) ** 2) / m
+    mu11 = jnp.sum(mask * (xs - cx) * (ys - cy)) / m
+    ang = 0.5 * jnp.arctan2(2.0 * mu11, mu20 - mu02 + 1e-9)
+    lim = jnp.deg2rad(max_deg)
+    ang = jnp.clip(ang, -lim, lim)
+    # too little ink -> unreliable estimate -> no-op
+    return jnp.where(m > 8.0, ang, 0.0)
+
+
+def rotate_bilinear(gray: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotate by ``angle`` radians about the center (bilinear, edge-clamped)
+    — the ``cv2.warpAffine`` step of the reference deskew."""
+    h, w = gray.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] - cy
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] - cx
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    sx = jnp.clip(cx + c * xs - s * ys, 0.0, w - 1.0)
+    sy = jnp.clip(cy + s * xs + c * ys, 0.0, h - 1.0)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = sx - x0
+    fy = sy - y0
+    g = gray.astype(jnp.float32)
+    top = g[y0, x0] * (1 - fx) + g[y0, x1] * fx
+    bot = g[y1, x0] * (1 - fx) + g[y1, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def deskew(gray: jnp.ndarray, max_deg: float = 15.0) -> jnp.ndarray:
+    """Moment-based deskew: estimate the skew angle and rotate it out
+    (reference ``pipe.py:249-261`` minAreaRect -> warpAffine chain).
+    ``rotate_bilinear`` inverse-maps, so sampling with the estimated angle
+    itself applies the corrective rotation."""
+    return rotate_bilinear(gray, estimate_skew_angle(gray, max_deg))

@@ -33,7 +33,7 @@ from manual_yolo_tpu.models import crnn
 from manual_yolo_tpu.ops import ctc as ctc_ops
 from manual_yolo_tpu.ops import image as img_ops
 
-NUMERIC_ALLOW = "0123456789.,kKmMbB$"
+NUMERIC_ALLOW = "0123456789.,kKmMbBlL$"  # L = lakh (the UI shows "4.55L")
 NAME_ALLOW = (
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
 )
@@ -60,7 +60,9 @@ def field_kind(class_name: str) -> str:
 class OCREngine:
     """CRNN-backed OCR with the reference's multi-pass confidence policy."""
 
-    N_VARIANTS = 3  # enhanced / otsu / raw-upscaled, like detect.py passes
+    # enhanced / otsu / raw / deskewed — the detect.py passes plus the
+    # pipe.py:249-261 deskew chain, all batched into one recognizer call
+    N_VARIANTS = 4
 
     def __init__(self, params, width: int = 256, compute_dtype=jnp.float32):
         self.params = params
@@ -86,10 +88,11 @@ class OCREngine:
     # -- device program ----------------------------------------------------
 
     def _variants(self, gray: jnp.ndarray) -> jnp.ndarray:
-        """(32, W) -> (3, 32, W, 1): enhanced / otsu / identity passes."""
+        """(32, W) -> (4, 32, W, 1): enhanced / otsu / identity / deskewed."""
         enhanced = img_ops.clahe(gray, clip_limit=2.0)
         otsu = img_ops.otsu_binarize(gray)
-        return jnp.stack([enhanced, otsu, gray])[..., None]
+        deskewed = img_ops.clahe(img_ops.deskew(gray), clip_limit=2.0)
+        return jnp.stack([enhanced, otsu, gray, deskewed])[..., None]
 
     def _run_impl(self, params, gray_batch, mask):
         """gray_batch (N, 32, W); returns (ids (N,3,T), conf (N,3))."""
@@ -148,6 +151,14 @@ class OCREngine:
         if kind == "numeric":
             return extract_numeric_value(text)
         if kind == "name":
+            return extract_name(text)
+        if kind == "game_id":
+            # the crop reads "| Game ID : <digits>"; the id is the digit run
+            import re
+
+            m = re.findall(r"\d{6,}", text)
+            if m:
+                return m[-1]
             return extract_name(text)
         return text or None
 

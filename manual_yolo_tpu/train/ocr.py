@@ -43,7 +43,7 @@ FONTS = [
 
 
 def random_amount(rng) -> str:
-    style = rng.integers(0, 5)
+    style = rng.integers(0, 9)
     if style == 0:
         return str(rng.integers(1, 1_000_000))
     if style == 1:
@@ -54,17 +54,70 @@ def random_amount(rng) -> str:
         return ("$" + s) if rng.random() < 0.5 else s
     if style == 3:
         return f"{rng.integers(0, 100)}.{rng.integers(0, 100):02d}"
-    return f"{rng.integers(1, 100)}.{rng.integers(0, 10)}M"
+    if style == 4:
+        return f"{rng.integers(1, 100)}.{rng.integers(0, 10)}M"
+    # UI styles observed on real crops (data/ocr_real): plain K, lakh,
+    # big-blind denominations, exact zero
+    if style == 5:
+        return f"{rng.integers(1, 100)}K"
+    if style == 6:
+        return f"{rng.integers(1, 10)}.{rng.integers(0, 100):02d}L".replace(".00", "")
+    if style == 7:
+        v = rng.random()
+        if v < 0.33:
+            return f"{rng.integers(1, 250)}BB"
+        if v < 0.66:
+            return f"{rng.integers(0, 100)}.{rng.integers(1, 10)}BB"
+        return f"{rng.integers(1, 3)}.{rng.integers(0, 100):02d}KBB"
+    return "0"
+
+
+_NAME_WORDS = [
+    "Solemn", "Influx", "Cloudy", "Comb", "Chrome", "Green", "Alpine",
+    "Noyes", "Sacred", "Firme", "Skyborn", "Graft", "Inner", "Italic",
+    "Secret", "Cutler", "Auburn", "Insight", "Iron", "Contest", "Dream",
+    "Fiddle", "Flaming", "Lizard", "Angsty", "Modish", "Darker", "Joyful",
+    "Quiet", "Homer", "Deadly", "Fearer", "August", "Mesmer", "Mortal",
+    "Issue", "Cruel", "Goof", "Wild", "Lariat", "Dark", "Bower", "Bronze",
+    "Nuance", "grid", "iron", "sport", "fire", "time", "money", "ball",
+    "snow", "speed", "cube", "game", "goal", "fer", "climber", "acrobat",
+    "basket", "berserker", "unifight", "turumchi", "ruata", "vk", "fp",
+]
 
 
 def random_name(rng) -> str:
-    n = int(rng.integers(2, 14))
-    chars = string.ascii_letters + string.digits + "_"
-    return "".join(chars[rng.integers(0, len(chars))] for _ in range(n))
+    """Name styles matching the real UI distribution (data/ocr_real):
+    CamelCase pairs, lowercase word+digits, dotted, plain random."""
+    style = rng.random()
+    if style < 0.35:  # CamelCase pair + optional digits
+        w = _NAME_WORDS[rng.integers(0, len(_NAME_WORDS))].capitalize()
+        w2 = _NAME_WORDS[rng.integers(0, len(_NAME_WORDS))].capitalize()
+        s = w + w2
+        if rng.random() < 0.4:
+            s += str(rng.integers(0, 1000))
+    elif style < 0.6:  # lowercase word(s) + digits
+        w = _NAME_WORDS[rng.integers(0, len(_NAME_WORDS))].lower()
+        w2 = _NAME_WORDS[rng.integers(0, len(_NAME_WORDS))].lower()
+        s = w + (w2 if rng.random() < 0.5 else "") + str(rng.integers(0, 100000))
+    elif style < 0.7:  # dotted like "s.kaahyap"
+        w = _NAME_WORDS[rng.integers(0, len(_NAME_WORDS))].lower()
+        s = string.ascii_lowercase[rng.integers(0, 26)] + "." + w
+    else:  # plain random (round-1 distribution)
+        n = int(rng.integers(2, 14))
+        chars = string.ascii_letters + string.digits + "_"
+        s = "".join(chars[rng.integers(0, len(chars))] for _ in range(n))
+    # UI truncation ellipsis on long names
+    if len(s) >= 10 and rng.random() < 0.45:
+        s = s[: rng.integers(8, min(len(s), 13))] + "..."
+    return s[:24]
 
 
 def random_game_id(rng) -> str:
-    if rng.random() < 0.5:
+    r = rng.random()
+    if r < 0.45:
+        # the real crop is a title-bar line: "| Game ID : 232025507"
+        return f"Game ID : {rng.integers(232000000, 233000000)}"
+    if r < 0.7:
         return str(rng.integers(1000, 10_000_000))
     return "Game_" + "".join(
         string.ascii_uppercase[rng.integers(0, 26)] for _ in range(2)
@@ -78,34 +131,62 @@ def random_card(rng) -> str:
 
 
 def random_text(rng) -> str:
+    return random_sample(rng)[0]
+
+
+def random_sample(rng) -> Tuple[str, str]:
+    """-> (label, unlabeled_suffix). The suffix is RENDERED after the label
+    (chip disc + side-pot amount, like the real 'Pot:3K [chip]2K' crops) but
+    excluded from the CTC target — the net learns the extraction semantics:
+    read the field value, ignore the chip and its amount."""
     r = rng.random()
     if r < 0.40:
         amt = random_amount(rng)
+        pre = rng.random()
         # poker-UI framing the reference's pot/bet fields carry
         # (e.g. "Pot:3K", detect.py total_pot crops)
-        pre = rng.random()
-        if pre < 0.10:
-            return "Pot:" + amt
-        if pre < 0.15:
-            return "Pot: " + amt
-        return amt
+        if pre < 0.18:
+            amt = ("Pot:" if pre < 0.12 else "Pot: ") + amt
+        suffix = random_amount(rng) if rng.random() < 0.30 else ""
+        return amt, suffix
     if r < 0.65:
-        return random_name(rng)
+        return random_name(rng), ""
     if r < 0.80:
-        return random_game_id(rng)
+        return random_game_id(rng), ""
     if r < 0.92:
-        return random_card(rng)
+        return random_card(rng), ""
     # generic word-ish noise
-    return "".join(
+    t = "".join(
         crnn.CHARSET[rng.integers(1, len(crnn.CHARSET))] for _ in range(rng.integers(1, 10))
     ).strip() or "0"
+    return t, ""
 
 
 _FONT_CACHE: Dict[Tuple[str, int], object] = {}
 
 
-def render_text(rng, text: str, target_w: int) -> np.ndarray:
-    """Render to a (32, target_w) float image in [0,1] with augmentation."""
+def _draw_chip(rng, arr: np.ndarray, cx: int, cy: int, rad: int) -> None:
+    """Poker-chip glyph: bright disc + darker inner ring + center dot —
+    the icon that sits beside real bet/pot amounts and must not be read
+    as digits (the round-1 '721K' phantom)."""
+    h, w = arr.shape
+    ys, xs = np.ogrid[:h, :w]
+    d2 = (ys - cy) ** 2 + (xs - cx) ** 2
+    outer = float(rng.uniform(0.6, 1.0))
+    arr[d2 <= rad**2] = outer
+    r2 = max(rad - 2, 1)
+    arr[d2 <= r2**2] = float(rng.uniform(0.1, 0.4))
+    r3 = max(rad // 2, 1)
+    arr[d2 <= r3**2] = outer
+
+
+def render_text(rng, text: str, target_w: int, suffix: str = "") -> np.ndarray:
+    """Render to a (32, target_w) float image in [0,1] with augmentation.
+
+    ``suffix`` (if any) is rendered AFTER the text, separated by a chip
+    glyph, but is not part of the label — see :func:`random_sample`.
+    """
+    import cv2
     from PIL import Image, ImageDraw, ImageFilter, ImageFont
 
     size = int(rng.integers(18, 30))
@@ -116,11 +197,19 @@ def render_text(rng, text: str, target_w: int) -> np.ndarray:
     font = _FONT_CACHE[key]
 
     pad = int(rng.integers(2, 8))
+    gap = int(rng.integers(size, 2 * size)) if suffix else 0
     bbox = font.getbbox(text)
     tw = max(1, bbox[2] - bbox[0])
     th = max(1, bbox[3] - bbox[1])
-    img = Image.new("L", (tw + 2 * pad, th + 2 * pad), 255)
-    ImageDraw.Draw(img).text((pad - bbox[0], pad - bbox[1]), text, fill=0, font=font)
+    sw = 0
+    if suffix:
+        sb = font.getbbox(suffix)
+        sw = max(1, sb[2] - sb[0])
+    img = Image.new("L", (tw + sw + gap + 2 * pad, th + 2 * pad), 255)
+    draw = ImageDraw.Draw(img)
+    draw.text((pad - bbox[0], pad - bbox[1]), text, fill=0, font=font)
+    if suffix:
+        draw.text((pad + tw + gap - sb[0], pad - bbox[1]), suffix, fill=0, font=font)
 
     if rng.random() < 0.3:
         img = img.filter(ImageFilter.GaussianBlur(float(rng.random()) * 1.2))
@@ -128,21 +217,45 @@ def render_text(rng, text: str, target_w: int) -> np.ndarray:
     # poker UIs are mostly light text on dark chrome: bias polarity flips
     if rng.random() < 0.55:
         arr = 1.0 - arr
+    # UI-chrome panel border: light horizontal rule at top/bottom edges
+    if rng.random() < 0.3:
+        edge = float(rng.uniform(0.5, 1.0))
+        if rng.random() < 0.7:
+            arr[0 : int(rng.integers(1, 3))] = edge
+        if rng.random() < 0.7:
+            arr[-int(rng.integers(1, 3)) :] = edge
     # contrast/brightness jitter + noise
     arr = np.clip(arr * rng.uniform(0.6, 1.2) + rng.uniform(-0.15, 0.25), 0, 1)
     if rng.random() < 0.5:
         arr = np.clip(arr + rng.normal(0, rng.uniform(0.01, 0.07), arr.shape), 0, 1)
-    # chip/icon distractor: a filled disc left or right of the text
-    if rng.random() < 0.15:
-        h, w = arr.shape
-        cy = h // 2 + int(rng.integers(-3, 4))
+    # chip glyph between text and suffix (always when a suffix exists),
+    # else occasionally at either edge
+    h, w = arr.shape
+    if suffix:
+        frac = (pad + tw + gap // 2) / max(img.size[0], 1)
+        _draw_chip(rng, arr, int(frac * w), h // 2, int(rng.integers(h // 3, h // 2)))
+    elif rng.random() < 0.2:
         cx = int(rng.integers(0, max(w // 5, 1))) if rng.random() < 0.5 else (
             w - 1 - int(rng.integers(0, max(w // 5, 1)))
         )
-        rad = int(rng.integers(3, max(h // 2, 4)))
-        ys, xs = np.ogrid[:h, :w]
-        disc = (ys - cy) ** 2 + (xs - cx) ** 2 <= rad**2
-        arr[disc] = float(rng.random())
+        _draw_chip(rng, arr, cx, h // 2 + int(rng.integers(-3, 4)),
+                   int(rng.integers(3, max(h // 2, 4))))
+    # small-text degradation: downscale then upscale (blurry far-away fields)
+    if rng.random() < 0.4:
+        sh = int(rng.integers(12, 26))
+        sw2 = max(8, int(w * sh / h))
+        small = cv2.resize(arr, (sw2, sh), interpolation=cv2.INTER_AREA)
+        interp = cv2.INTER_LINEAR if rng.random() < 0.7 else cv2.INTER_CUBIC
+        arr = cv2.resize(small, (w, h), interpolation=interp)
+    # JPEG artifacts: the reference dataset images are JPEG-compressed
+    if rng.random() < 0.5:
+        q = int(rng.integers(35, 90))
+        ok, enc = cv2.imencode(
+            ".jpg", (np.clip(arr, 0, 1) * 255).astype(np.uint8),
+            [cv2.IMWRITE_JPEG_QUALITY, q],
+        )
+        if ok:
+            arr = cv2.imdecode(enc, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
     # random edge clipping (tight detector boxes cut glyph edges)
     if rng.random() < 0.3:
         h, w = arr.shape
@@ -164,6 +277,20 @@ class OCRTrainConfig:
     eval_every: int = 500
     compute_dtype: str = "float32"
     pool_size: int = 20000  # pre-rendered sample pool (renders off hot loop)
+    # real labelled crops (data/ocr_real/labels.json): mixed into batches at
+    # real_frac, restricted to real_splits so held-out splits stay eval-only
+    real_labels: str = ""
+    real_splits: Tuple[str, ...] = ("valid",)
+    real_frac: float = 0.35
+
+
+def _encode_label(t: str, max_label: int):
+    ids = [crnn.char_to_id(c) for c in t][:max_label]
+    labels = np.zeros(max_label, np.int32)
+    lab_pad = np.ones(max_label, np.float32)
+    labels[: len(ids)] = ids
+    lab_pad[: len(ids)] = 0.0  # 0 = valid for optax.ctc_loss
+    return labels, lab_pad
 
 
 def make_batch(rng, cfg: OCRTrainConfig):
@@ -172,12 +299,11 @@ def make_batch(rng, cfg: OCRTrainConfig):
     lab_pad = np.ones((cfg.batch, cfg.max_label), np.float32)
     texts = []
     for i in range(cfg.batch):
-        t = random_text(rng)[: cfg.max_label]
+        t, suffix = random_sample(rng)
+        t = t[: cfg.max_label]
         texts.append(t)
-        imgs[i, :, :, 0] = render_text(rng, t, cfg.width)
-        ids = [crnn.char_to_id(c) for c in t]
-        labels[i, : len(ids)] = ids
-        lab_pad[i, : len(ids)] = 0.0  # 0 = valid for optax.ctc_loss
+        imgs[i, :, :, 0] = render_text(rng, t, cfg.width, suffix)
+        labels[i], lab_pad[i] = _encode_label(t, cfg.max_label)
     return imgs, labels, lab_pad, texts
 
 
@@ -188,13 +314,47 @@ def build_pool(rng, cfg: OCRTrainConfig, size: int):
     lab_pad = np.ones((size, cfg.max_label), np.float32)
     texts = []
     for i in range(size):
-        t = random_text(rng)[: cfg.max_label]
+        t, suffix = random_sample(rng)
+        t = t[: cfg.max_label]
         texts.append(t)
-        imgs[i, :, :, 0] = render_text(rng, t, cfg.width)
-        ids = [crnn.char_to_id(c) for c in t]
-        labels[i, : len(ids)] = ids
-        lab_pad[i, : len(ids)] = 0.0
+        imgs[i, :, :, 0] = render_text(rng, t, cfg.width, suffix)
+        labels[i], lab_pad[i] = _encode_label(t, cfg.max_label)
     return imgs, labels, lab_pad, texts
+
+
+def load_real_pool(cfg: OCRTrainConfig):
+    """Labelled REAL crops -> (gray (N,32,W), labels, lab_pad). The label is
+    the target VALUE (chip amounts / 'Pot:' prefixes excluded where the
+    transcription says so), teaching extraction directly on UI pixels.
+    Restricted to cfg.real_splits so the eval sources stay held out."""
+    from manual_yolo_tpu.cli.eval_ocr import load_real_crops
+    from manual_yolo_tpu.runtime.ocr import OCREngine
+
+    grays, labels, pads = [], [], []
+    for crop, cname, truth in load_real_crops(
+        cfg.real_labels, splits=tuple(cfg.real_splits)
+    ):
+        grays.append(crnn.preprocess_gray(OCREngine._to_gray(crop), cfg.width))
+        # truth may contain charset-external chars (ellipsis); keep charset only
+        t = "".join(c for c in truth if c in crnn.CHARSET)[: cfg.max_label]
+        l, p = _encode_label(t, cfg.max_label)
+        labels.append(l)
+        pads.append(p)
+    return np.stack(grays), np.stack(labels), np.stack(pads)
+
+
+def _augment_real(rng, imgs: np.ndarray) -> np.ndarray:
+    """Light photometric jitter for real crops (already real — keep gentle)."""
+    out = imgs.copy()
+    for i in range(len(out)):
+        a = out[i]
+        a = np.clip(a * rng.uniform(0.8, 1.2) + rng.uniform(-0.1, 0.1), 0, 1)
+        if rng.random() < 0.3:
+            a = np.clip(a + rng.normal(0, 0.03, a.shape).astype(np.float32), 0, 1)
+        if rng.random() < 0.25:
+            a = 1.0 - a
+        out[i] = a
+    return out
 
 
 def train_ocr(cfg: OCRTrainConfig, log=print) -> Dict[str, float]:
@@ -241,25 +401,62 @@ def train_ocr(cfg: OCRTrainConfig, log=print) -> Dict[str, float]:
     log(f"pool ready in {time.time()-t0:.0f}s")
     p_imgs, p_labels, p_pad, _texts = pool
 
+    r_imgs = rh_imgs = None
+    if cfg.real_labels and os.path.exists(cfg.real_labels):
+        a_imgs, a_labels, a_pad = load_real_pool(cfg)
+        # hold out 15% of the real pool for checkpoint selection
+        hsplit = np.arange(len(a_imgs)) % 7 == 0
+        rh_imgs, rh_labels = a_imgs[hsplit], a_labels[hsplit]
+        r_imgs, r_labels, r_pad = a_imgs[~hsplit], a_labels[~hsplit], a_pad[~hsplit]
+        log(f"real pool: {len(r_imgs)} train + {len(rh_imgs)} holdout crops "
+            f"from splits {cfg.real_splits}")
+
     best_acc = 0.0
     for s in range(cfg.steps):
         idx = rng.integers(0, cfg.pool_size, cfg.batch)
         imgs, labels, lab_pad = p_imgs[idx], p_labels[idx], p_pad[idx]
+        if r_imgs is not None and cfg.real_frac > 0:
+            k = int(cfg.batch * cfg.real_frac)
+            if k:
+                ridx = rng.integers(0, len(r_imgs), k)
+                imgs = imgs.copy()
+                imgs[:k, :, :, 0] = _augment_real(rng, r_imgs[ridx])
+                labels = labels.copy(); labels[:k] = r_labels[ridx]
+                lab_pad = lab_pad.copy(); lab_pad[:k] = r_pad[ridx]
         params, opt_state, loss = step(
             params, opt_state, jnp.asarray(imgs), jnp.asarray(labels),
             jnp.asarray(lab_pad),
         )
         if (s + 1) % cfg.eval_every == 0 or s == cfg.steps - 1:
             acc = exact_match(params)
+            real_acc = None
+            if rh_imgs is not None and len(rh_imgs):
+                from manual_yolo_tpu.ops.ctc import decode_to_text
+
+                ids, _conf = jax.device_get(
+                    infer(params, jnp.asarray(rh_imgs[..., None]))
+                )
+                good = 0
+                for i in range(len(rh_imgs)):
+                    want = "".join(
+                        crnn.CHARSET[c - 1] for c in rh_labels[i] if c > 0
+                    )
+                    good += int(decode_to_text(ids[i]) == want)
+                real_acc = good / len(rh_imgs)
+            # selection: worst of synthetic and real-holdout — the checkpoint
+            # must read BOTH distributions
+            score = acc if real_acc is None else min(acc, real_acc)
             log(
                 f"step {s+1}/{cfg.steps} ctc {float(loss):.3f} "
-                f"exact {acc:.3f} ({time.time()-t0:.0f}s)"
+                f"exact {acc:.3f}"
+                + (f" real_holdout {real_acc:.3f}" if real_acc is not None else "")
+                + f" ({time.time()-t0:.0f}s)"
             )
-            if acc >= best_acc:
-                best_acc = acc
-                save_params(
-                    cfg.out_path, params,
-                    meta={"hidden": cfg.hidden, "width": cfg.width,
-                          "exact_match": acc, "step": s + 1},
-                )
+            if score >= best_acc:
+                best_acc = score
+                meta = {"hidden": cfg.hidden, "width": cfg.width,
+                        "exact_match": acc, "step": s + 1}
+                if real_acc is not None:
+                    meta["real_holdout"] = real_acc
+                save_params(cfg.out_path, params, meta=meta)
     return {"best_exact": best_acc, "wall_s": time.time() - t0}

@@ -97,3 +97,49 @@ def test_enhance_chains_run(gray_img):
     card = np.asarray(img_ops.enhance_for_ocr_card(jnp.asarray(gray_img)))
     assert card.shape == (gray_img.shape[0] * 3, gray_img.shape[1] * 3)
     assert set(np.unique(card)).issubset({0.0, 1.0})
+
+
+def test_estimate_skew_and_deskew():
+    """Skewed synthetic text: the moment estimator recovers the angle and
+    deskew() restores the line (reference pipe.py:249-261 chain)."""
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    from manual_yolo_tpu.ops import image as img_ops
+
+    # synthetic "text line": dark glyph blobs on light background
+    base = np.full((64, 200), 0.9, np.float32)
+    for x in range(10, 190, 14):
+        base[26:38, x : x + 9] = 0.05
+    deg = 8.0
+    M = cv2.getRotationMatrix2D((100, 32), deg, 1.0)
+    skewed = cv2.warpAffine(base, M, (200, 64), borderValue=0.9)
+
+    est = float(jnp.rad2deg(img_ops.estimate_skew_angle(jnp.asarray(skewed))))
+    assert abs(est - (-deg)) < 2.5, est  # image-coord y-down: +8deg cv2 == -8deg moments
+
+    restored = np.asarray(img_ops.deskew(jnp.asarray(skewed)))
+    # deskewed image must be much closer to the unskewed original
+    interior = (slice(12, 52), slice(20, 180))
+    err_before = np.abs(skewed[interior] - base[interior]).mean()
+    err_after = np.abs(restored[interior] - base[interior]).mean()
+    assert err_after < err_before * 0.5, (err_before, err_after)
+
+    # unskewed input is (nearly) a no-op
+    est0 = float(jnp.rad2deg(img_ops.estimate_skew_angle(jnp.asarray(base))))
+    assert abs(est0) < 1.5
+
+
+def test_deskew_light_on_dark_polarity():
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    from manual_yolo_tpu.ops import image as img_ops
+
+    base = np.full((48, 160), 0.08, np.float32)
+    for x in range(8, 150, 12):
+        base[20:30, x : x + 7] = 0.95  # light text on dark chrome
+    M = cv2.getRotationMatrix2D((80, 24), -6.0, 1.0)
+    skewed = cv2.warpAffine(base, M, (160, 48), borderValue=0.08)
+    est = float(jnp.rad2deg(img_ops.estimate_skew_angle(jnp.asarray(skewed))))
+    assert abs(est - 6.0) < 2.5, est
