@@ -1,0 +1,32 @@
+"""CRAFT text-detector training CLI (synthetic multi-line scenes)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Train the CRAFT text detector")
+    ap.add_argument("--out", default="weights/craft_synth.npz")
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--pool-size", type=int, default=2000)
+    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    args = ap.parse_args(argv)
+
+    from manual_yolo_tpu.train.craft import CraftTrainConfig, train_craft
+
+    cfg = CraftTrainConfig(
+        out_path=args.out, steps=args.steps, batch=args.batch, size=args.size,
+        lr=args.lr, pool_size=args.pool_size, compute_dtype=args.dtype,
+    )
+    res = train_craft(cfg)
+    print(json.dumps(res, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -81,7 +81,19 @@ def init_params(key) -> Dict:
     return {"vgg": vgg, "ext": ext, "ups": ups, "head": head}
 
 
-def _conv(p, x, k_stride=1, dilation=1, act=True, compute_dtype=jnp.float32):
+BN_MOMENTUM = 0.1  # torchvision BatchNorm2d default
+
+
+class BNCtx:
+    """Train-mode BN statistics collector (same scheme as yolov8.BNCtx)."""
+
+    def __init__(self, momentum: float = BN_MOMENTUM):
+        self.momentum = momentum
+        self.updates: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+
+
+def _conv(p, x, k_stride=1, dilation=1, act=True, compute_dtype=jnp.float32,
+          bn_ctx=None, path=""):
     k = p["w"].shape[0]
     pad = ((k - 1) * dilation) // 2
     y = jax.lax.conv_general_dilated(
@@ -91,12 +103,39 @@ def _conv(p, x, k_stride=1, dilation=1, act=True, compute_dtype=jnp.float32):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=compute_dtype,
     )
+    y = y.astype(jnp.float32)
     if "bn" in p:
         bn = p["bn"]
-        y = (y - bn["mean"]) * (bn["gamma"] * jax.lax.rsqrt(bn["var"] + BN_EPS)) + bn["beta"]
+        if bn_ctx is not None:
+            mean = jnp.mean(y, axis=(0, 1, 2))
+            var = jnp.var(y, axis=(0, 1, 2))
+            m = bn_ctx.momentum
+            bn_ctx.updates[path] = (
+                (1 - m) * bn["mean"] + m * mean,
+                (1 - m) * bn["var"] + m * var,
+            )
+        else:
+            mean, var = bn["mean"], bn["var"]
+        y = (y - mean) * (bn["gamma"] * jax.lax.rsqrt(var + BN_EPS)) + bn["beta"]
     elif "b" in p:
         y = y + p["b"]
     return jax.nn.relu(y) if act else y
+
+
+def apply_bn_updates(params, updates: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]):
+    """Splice BNCtx-collected running stats back into the params pytree."""
+
+    def rec(p, path):
+        if isinstance(p, dict):
+            if "w" in p and "bn" in p and path in updates:
+                mean, var = updates[path]
+                return dict(p, bn=dict(p["bn"], mean=mean, var=var))
+            return {k: rec(v, f"{path}.{k}" if path else k) for k, v in p.items()}
+        if isinstance(p, list):
+            return [rec(v, f"{path}.{i}") for i, v in enumerate(p)]
+        return p
+
+    return rec(params, "")
 
 
 def _pool(x):
@@ -109,31 +148,36 @@ def _resize_to(x, hw):
     return jax.image.resize(x, (x.shape[0], hw[0], hw[1], x.shape[3]), "bilinear")
 
 
-def forward(params, x, compute_dtype=jnp.float32) -> jnp.ndarray:
+def forward(params, x, compute_dtype=jnp.float32, bn_ctx=None) -> jnp.ndarray:
     """x: (N, H, W, 3) RGB [0,1] -> (N, H/2, W/2, 2) region/affinity scores."""
     feats: List[jnp.ndarray] = []
     y = x
-    for p, (cout, pool) in zip(params["vgg"], _VGG_PLAN):
+    for i, (p, (cout, pool)) in enumerate(zip(params["vgg"], _VGG_PLAN)):
         if pool:
             feats.append(y)
             y = _pool(y)
-        y = _conv(p, y, compute_dtype=compute_dtype)
+        y = _conv(p, y, compute_dtype=compute_dtype, bn_ctx=bn_ctx, path=f"vgg.{i}")
     feats.append(y)  # stride 8
     y = _pool(y)  # stride 16
-    y = _conv(params["ext"][0], y, dilation=6, compute_dtype=compute_dtype)
-    y = _conv(params["ext"][1], y, compute_dtype=compute_dtype)
+    y = _conv(params["ext"][0], y, dilation=6, compute_dtype=compute_dtype,
+              bn_ctx=bn_ctx, path="ext.0")
+    y = _conv(params["ext"][1], y, compute_dtype=compute_dtype,
+              bn_ctx=bn_ctx, path="ext.1")
 
     # U-Net merges with stride 8, 4, 2 features (feats[-1], [-2], [-3], [-4])
     skips = [feats[-1], feats[-2], feats[-3], feats[-4]]
-    for up, skip in zip(params["ups"], skips):
+    for ui, (up, skip) in enumerate(zip(params["ups"], skips)):
         y = _resize_to(y, skip.shape[1:3])
         y = jnp.concatenate([y, skip], axis=-1)
-        y = _conv(up["c1"], y, compute_dtype=compute_dtype)
-        y = _conv(up["c2"], y, compute_dtype=compute_dtype)
+        y = _conv(up["c1"], y, compute_dtype=compute_dtype,
+                  bn_ctx=bn_ctx, path=f"ups.{ui}.c1")
+        y = _conv(up["c2"], y, compute_dtype=compute_dtype,
+                  bn_ctx=bn_ctx, path=f"ups.{ui}.c2")
 
     h = y
     for i, p in enumerate(params["head"]):
-        h = _conv(p, h, act=(i < len(params["head"]) - 1), compute_dtype=compute_dtype)
+        h = _conv(p, h, act=(i < len(params["head"]) - 1),
+                  compute_dtype=compute_dtype, bn_ctx=bn_ctx, path=f"head.{i}")
     return h  # (N, H/2, W/2, 2) raw scores
 
 

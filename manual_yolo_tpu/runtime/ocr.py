@@ -64,7 +64,8 @@ class OCREngine:
     # pipe.py:249-261 deskew chain, all batched into one recognizer call
     N_VARIANTS = 4
 
-    def __init__(self, params, width: int = 256, compute_dtype=jnp.float32):
+    def __init__(self, params, width: int = 256, compute_dtype=jnp.float32,
+                 text_detector_params=None):
         self.params = params
         self.width = width
         self.compute_dtype = compute_dtype
@@ -76,14 +77,34 @@ class OCREngine:
             "generic": jnp.asarray(ctc_ops.allowlist_mask(None)),
         }
         self._run = jax.jit(self._run_impl)
+        # optional CRAFT text detector (the EasyOCR detection stage): enables
+        # read_region() on multi-line / loose crops
+        self._craft_params = text_detector_params
+        self._craft_fwd = None
+        if text_detector_params is not None:
+            from manual_yolo_tpu.models import craft as craft_mod
+
+            self._craft_fwd = jax.jit(
+                lambda p, x: craft_mod.forward(p, x, jnp.float32)
+            )
 
     @classmethod
-    def from_npz(cls, path: str, compute_dtype=jnp.float32) -> "OCREngine":
+    def from_npz(cls, path: str, compute_dtype=jnp.float32,
+                 text_detector: Optional[str] = None) -> "OCREngine":
         from manual_yolo_tpu.core.serialization import load_params
 
         params, meta = load_params(path)
         params = jax.tree_util.tree_map(jnp.asarray, params)
-        return cls(params, width=int(meta.get("width", 256)), compute_dtype=compute_dtype)
+        td = None
+        if text_detector:
+            import os
+
+            if os.path.exists(text_detector):
+                from manual_yolo_tpu.models import craft as craft_mod
+
+                td = craft_mod.load_npz(text_detector)
+        return cls(params, width=int(meta.get("width", 256)),
+                   compute_dtype=compute_dtype, text_detector_params=td)
 
     # -- device program ----------------------------------------------------
 
@@ -185,6 +206,63 @@ class OCREngine:
 
     # make the engine itself usable where a read_field callable is expected
     __call__ = read_field
+
+    def read_region(
+        self,
+        img_bgr: np.ndarray,
+        kind: str = "generic",
+        min_confidence: float = 0.35,
+        text_threshold: float = 0.7,
+    ) -> List[Tuple[Tuple[int, int, int, int], str, float]]:
+        """EasyOCR ``readtext`` equivalent: CRAFT text detection over an
+        arbitrary region, then one batched CRNN read of every found line.
+        Returns [(box_xyxy, text, confidence)] top-to-bottom. Requires the
+        engine to be built with text detector weights; without them a
+        single-line read of the whole region is returned."""
+        import cv2
+
+        gray = self._to_gray(img_bgr)
+        if self._craft_fwd is None:
+            (text, conf), = self.read_batch([gray], kind, min_confidence=0.0)
+            h, w = gray.shape[:2]
+            return [((0, 0, w, h), text, conf)] if conf >= min_confidence else []
+
+        from manual_yolo_tpu.models import craft as craft_mod
+
+        h, w = img_bgr.shape[:2]
+        # CRAFT input: multiple of 32, modest canvas
+        side = int(np.clip(max(h, w), 64, 512))
+        side = (side + 31) // 32 * 32
+        rgb = img_bgr[..., ::-1].astype(np.float32) / 255.0
+        canvas = np.zeros((side, side, 3), np.float32)
+        s = min(side / h, side / w)
+        nh, nw = max(1, round(h * s)), max(1, round(w * s))
+        canvas[:nh, :nw] = cv2.resize(rgb, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        scores = np.asarray(
+            self._craft_fwd(self._craft_params, jnp.asarray(canvas[None]))
+        )[0]
+        boxes = craft_mod.text_regions_from_scores(
+            scores, text_threshold=text_threshold
+        )
+        # map back to source pixels, pad a little, read all lines in ONE call
+        out_boxes = []
+        line_crops = []
+        for (x1, y1, x2, y2) in sorted(boxes, key=lambda b: (b[1], b[0])):
+            sx1 = max(0, int(x1 / s) - 2)
+            sy1 = max(0, int(y1 / s) - 2)
+            sx2 = min(w, int(x2 / s) + 2)
+            sy2 = min(h, int(y2 / s) + 2)
+            if sx2 - sx1 < 3 or sy2 - sy1 < 3:
+                continue
+            out_boxes.append((sx1, sy1, sx2, sy2))
+            line_crops.append(gray[sy1:sy2, sx1:sx2])
+        if not line_crops:
+            return []
+        reads = self.read_batch(line_crops, kind, min_confidence=0.0)
+        return [
+            (b, t, c) for b, (t, c) in zip(out_boxes, reads)
+            if c >= min_confidence and t
+        ]
 
     def read_fields(
         self,

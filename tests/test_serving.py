@@ -114,3 +114,45 @@ def test_host_and_device_letterbox_agree(engine):
     # interpolation implementations differ by at most ~1 gray level
     assert np.percentile(diff, 99) <= 2.0
     assert diff.mean() < 1.0
+
+
+def test_batch_stream_delta_matches_raw():
+    """XOR-delta canvas encoding must be LOSSLESS: identical detections to
+    raw mode across several batches (including the first, which XORs
+    against device zeros)."""
+    from manual_yolo_tpu.runtime.serving import BatchStream
+
+    det_spec = yolov8.build_spec("detect", "n", nc=64)
+    cls_spec = yolov8.build_spec("classify", "n", nc=13)
+    det_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(0), det_spec), det_spec
+    )
+    cls_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(1), cls_spec), cls_spec
+    )
+
+    def build(delta):
+        return BatchStream(
+            det_params=det_params, det_spec=det_spec,
+            cls_params=cls_params, cls_spec=cls_spec,
+            names=taxonomy.CLASSES, rank_names={i: str(i) for i in range(13)},
+            batch=2, imgsz=192, conf=1e-6, compute_dtype=jnp.float32,
+            use_pallas_nms=False, delta=delta,
+        )
+
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 255, (240, 400, 3), np.uint8)
+    batches = []
+    for _ in range(3):  # nearly-static stream: small jitter per batch
+        jit = rng.integers(-4, 5, (1, 1, 3), np.int16)
+        f = np.clip(base.astype(np.int16) + jit, 0, 255).astype(np.uint8)
+        batches.append([f, f.copy()])
+
+    s_raw, s_delta = build(False), build(True)
+    for b in batches:
+        s_raw.submit_batch(b)
+        s_delta.submit_batch(b)
+        r1 = s_raw.collect_batch()
+        r2 = s_delta.collect_batch()
+        assert r1 == r2
+        assert any(len(d) for d in r1)  # stream actually detected something
