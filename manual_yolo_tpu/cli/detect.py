@@ -35,7 +35,7 @@ def main(argv=None) -> int:
     ap.add_argument("--detector", default=cfg.detector.weights)
     ap.add_argument("--classifier", default=cfg.rank.weights)
     ap.add_argument("--ocr-weights",
-                    default=cfg.ocr.recognizer_weights or "weights/crnn_synth.npz")
+                    default=cfg.ocr.recognizer_weights or "weights/crnn_real.npz")
     ap.add_argument("--imgsz", type=int, default=cfg.detector.imgsz)
     ap.add_argument("--conf", type=float, default=cfg.detector.conf)
     ap.add_argument("--max-frames", type=int, default=None)

@@ -106,7 +106,7 @@ def evaluate_real(engine, labels_path: str, min_confidence: float = 0.0,
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Evaluate OCR on real UI crops")
-    ap.add_argument("--weights", default="weights/crnn_synth.npz")
+    ap.add_argument("--weights", default="weights/crnn_real.npz")
     ap.add_argument("--labels", default="data/ocr_real/labels.json")
     ap.add_argument("--min-confidence", type=float, default=0.0)
     ap.add_argument("--splits", default="test,test2",

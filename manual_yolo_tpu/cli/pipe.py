@@ -36,7 +36,7 @@ def main(argv=None) -> int:
     ap.add_argument("--output-dir", default=cfg.pipe.output_folder)
     ap.add_argument("--detector", default=cfg.detector.weights)
     ap.add_argument("--ocr-weights",
-                    default=cfg.ocr.recognizer_weights or "weights/crnn_synth.npz")
+                    default=cfg.ocr.recognizer_weights or "weights/crnn_real.npz")
     ap.add_argument("--imgsz", type=int, default=cfg.pipe.yolo_imgsz)  # pipe.py:41
     ap.add_argument("--conf", type=float, default=cfg.pipe.yolo_conf)  # pipe.py:42
     ap.add_argument("--fps", type=int, default=cfg.pipe.input_fps)  # pipe.py:36

