@@ -36,6 +36,9 @@ def main(argv=None) -> int:
     ap.add_argument("--classifier", default=cfg.rank.weights)
     ap.add_argument("--ocr-weights",
                     default=cfg.ocr.recognizer_weights or "weights/crnn_real.npz")
+    ap.add_argument("--text-detector",
+                    default=cfg.ocr.detector_weights or "weights/craft_synth.npz",
+                    help="CRAFT weights for multi-line read_region fallback")
     ap.add_argument("--imgsz", type=int, default=cfg.detector.imgsz)
     ap.add_argument("--conf", type=float, default=cfg.detector.conf)
     ap.add_argument("--max-frames", type=int, default=None)
@@ -75,7 +78,8 @@ def main(argv=None) -> int:
         screenshot_interval=cfg.live.screenshot_interval,
         show_window=args.show,
         save_screenshots=args.save_screenshots,
-        ocr=default_ocr_engine(args.ocr_weights) if cfg.ocr.enabled else None,
+        ocr=default_ocr_engine(args.ocr_weights, args.text_detector)
+        if cfg.ocr.enabled else None,
     )
     print("Starting live detection." + (" Press 'q' in the window to quit." if args.show else ""))
     loop.run(source, max_frames=args.max_frames)

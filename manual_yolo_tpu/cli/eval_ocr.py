@@ -107,6 +107,9 @@ def evaluate_real(engine, labels_path: str, min_confidence: float = 0.0,
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Evaluate OCR on real UI crops")
     ap.add_argument("--weights", default="weights/crnn_real.npz")
+    ap.add_argument("--text-detector", default="",
+                    help="optional CRAFT weights: enables the multi-line "
+                         "detect-then-read fallback during eval")
     ap.add_argument("--labels", default="data/ocr_real/labels.json")
     ap.add_argument("--min-confidence", type=float, default=0.0)
     ap.add_argument("--splits", default="test,test2",
@@ -117,7 +120,7 @@ def main(argv=None) -> int:
 
     from manual_yolo_tpu.runtime.ocr import OCREngine
 
-    engine = OCREngine.from_npz(args.weights)
+    engine = OCREngine.from_npz(args.weights, text_detector=args.text_detector or None)
     res = evaluate_real(
         engine, args.labels, args.min_confidence,
         splits=tuple(args.splits.split(",")),

@@ -37,6 +37,9 @@ def main(argv=None) -> int:
     ap.add_argument("--detector", default=cfg.detector.weights)
     ap.add_argument("--ocr-weights",
                     default=cfg.ocr.recognizer_weights or "weights/crnn_real.npz")
+    ap.add_argument("--text-detector",
+                    default=cfg.ocr.detector_weights or "weights/craft_synth.npz",
+                    help="CRAFT weights for multi-line read_region fallback")
     ap.add_argument("--imgsz", type=int, default=cfg.pipe.yolo_imgsz)  # pipe.py:41
     ap.add_argument("--conf", type=float, default=cfg.pipe.yolo_conf)  # pipe.py:42
     ap.add_argument("--fps", type=int, default=cfg.pipe.input_fps)  # pipe.py:36
@@ -78,7 +81,8 @@ def main(argv=None) -> int:
         hand_timeout=args.hand_timeout,
         tile=args.tile,
         tile_overlap=args.tile_overlap,
-        ocr=default_ocr_engine(args.ocr_weights) if cfg.ocr.enabled else None,
+        ocr=default_ocr_engine(args.ocr_weights, args.text_detector)
+        if cfg.ocr.enabled else None,
         tracker=DeepSortTracker(
             max_age=cfg.pipe.deepsort_max_age,
             n_init=cfg.pipe.deepsort_n_init,

@@ -43,6 +43,9 @@ def main(argv=None) -> int:
                     choices=["bfloat16", "float32"])
     ap.add_argument("--ocr-weights",
                     default=cfg.ocr.recognizer_weights or "weights/crnn_real.npz")
+    ap.add_argument("--text-detector",
+                    default=cfg.ocr.detector_weights or "weights/craft_synth.npz",
+                    help="CRAFT weights for multi-line read_region fallback")
     ap.add_argument("--no-ocr", action="store_true", help="disable OCR fallback")
     ap.add_argument("--no-llm", action="store_true",
                     help="disable the vision-LLM fallback even if a key is set")
@@ -61,7 +64,7 @@ def main(argv=None) -> int:
         try:
             from manual_yolo_tpu.runtime.ocr import default_ocr_engine
 
-            ocr = default_ocr_engine(args.ocr_weights)
+            ocr = default_ocr_engine(args.ocr_weights, args.text_detector)
         except Exception:
             ocr = None
     result = process_screenshot(

@@ -15,6 +15,10 @@ def main(argv=None) -> int:
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--pool-size", type=int, default=2000)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--real-labels", default="",
+                    help="data/ocr_real/labels.json to composite real crops")
+    ap.add_argument("--real-splits", default="train,valid")
+    ap.add_argument("--real-scene-frac", type=float, default=0.5)
     args = ap.parse_args(argv)
 
     from manual_yolo_tpu.train.craft import CraftTrainConfig, train_craft
@@ -22,6 +26,9 @@ def main(argv=None) -> int:
     cfg = CraftTrainConfig(
         out_path=args.out, steps=args.steps, batch=args.batch, size=args.size,
         lr=args.lr, pool_size=args.pool_size, compute_dtype=args.dtype,
+        real_labels=args.real_labels,
+        real_splits=tuple(args.real_splits.split(",")),
+        real_scene_frac=args.real_scene_frac,
     )
     res = train_craft(cfg)
     print(json.dumps(res, indent=2))

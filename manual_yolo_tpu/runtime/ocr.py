@@ -299,17 +299,50 @@ class OCREngine:
                 if conf < self._field_threshold(low, min_confidence):
                     continue
                 out[i] = self._validate(kind, low, text)
+        # CRAFT fallback: fields the single-line read left empty whose crop
+        # is tall enough to hold >1 text line get a detect-then-read retry
+        # (EasyOCR's readtext is exactly this two-stage cascade)
+        if self._craft_fwd is not None:
+            for i, (crop, name) in enumerate(zip(crops_bgr, class_names)):
+                if out[i] is not None or crop is None or crop.size == 0:
+                    continue
+                if crop.shape[0] < 45:  # single UI lines are ~20-35 px
+                    continue
+                try:
+                    out[i] = self._region_field(crop, name, min_confidence)
+                except Exception as e:
+                    print(f"OCR region fallback error for {name}: {e}")
         return out
+
+    def _region_field(
+        self, crop_bgr: np.ndarray, class_name: str, min_confidence: float
+    ) -> Optional[str]:
+        """read_region over a loose/multi-line crop, returning the first
+        line whose text validates for the field."""
+        kind = field_kind(class_name)
+        low = class_name.lower()
+        thr = self._field_threshold(low, min_confidence)
+        for _box, text, conf in self.read_region(crop_bgr, kind, thr):
+            v = self._validate(kind, low, text)
+            if v:
+                return v
+        return None
 
 
 def default_ocr_engine(
     weights: str = "weights/crnn_real.npz",
+    text_detector: Optional[str] = "weights/craft_synth.npz",
 ) -> Optional["OCREngine"]:
     """Build the default OCR engine, or None if no weights exist.
 
     The default checkpoint is co-trained on synthetic renders AND the
     labelled real UI crops (data/ocr_real): 0.91 exact-match on the held-out
     real test sources vs 0.07 for the synthetic-only round-1 checkpoint.
+
+    ``text_detector`` names optional CRAFT weights; when the file exists the
+    engine gains ``read_region`` (EasyOCR readtext parity: detect text lines,
+    then ONE batched recognizer call) and the multi-line fallback inside
+    ``read_fields``. Missing file = recognizer-only engine, no error.
 
     The engine is itself callable with ``(crop_bgr, class_name)`` (the
     read_field contract), and additionally exposes ``read_fields`` so
@@ -319,4 +352,4 @@ def default_ocr_engine(
 
     if not os.path.exists(weights):
         return None
-    return OCREngine.from_npz(weights)
+    return OCREngine.from_npz(weights, text_detector=text_detector)

@@ -114,14 +114,103 @@ class CraftTrainConfig:
     eval_every: int = 250
     pool_size: int = 2000
     compute_dtype: str = "bfloat16"
+    # real labelled UI crops composited into scenes (line-level gaussian
+    # supervision): teaches real UI pixels + the tightly-stacked two-line
+    # name/stack panels the synthetic renderer's row separation never shows
+    real_labels: str = ""
+    real_splits: Tuple[str, ...] = ("train", "valid")
+    real_scene_frac: float = 0.5
 
 
-def build_pool(rng, cfg: CraftTrainConfig):
+def _paste_crop_heat(heat, x0, y0, w, h, n_chars):
+    """Line-level CRAFT supervision for a pasted real crop: char centers
+    approximated as evenly spaced across the crop width (char-exact positions
+    are unknown for real crops; even spacing is enough for line detection)."""
+    hh = heat.shape[0]
+    n = max(int(n_chars), 1)
+    cw = w / n
+    cy = y0 + h / 2
+    for ci in range(n):
+        cx = x0 + (ci + 0.5) * cw
+        heat[..., 0] = np.maximum(
+            heat[..., 0],
+            _gauss2d(hh, hh, cy / 2, cx / 2, max(h / 5, 1.2), max(cw / 5, 1.0)),
+        )
+        if ci:
+            mx = x0 + ci * cw
+            heat[..., 1] = np.maximum(
+                heat[..., 1],
+                _gauss2d(hh, hh, cy / 2, mx / 2, max(h / 5, 1.2),
+                         max(cw / 3.5, 1.0)),
+            )
+
+
+def render_scene_real(rng, real_pool, size: int = 256):
+    """Scene composited from REAL UI crops: 1-3 groups, where a group is a
+    single crop or a vertically-stacked pair with a 2-8 px gap (the UI's
+    name-over-stack panel layout)."""
+    import cv2
+
+    style = rng.random()
+    if style < 0.6:
+        bg = rng.uniform(0.05, 0.25)
+    elif style < 0.85:
+        bg = rng.uniform(0.25, 0.5)
+    else:
+        bg = rng.uniform(0.75, 0.95)
+    img = np.full((size, size, 3), bg, np.float32)
+    img += rng.normal(0, 0.02, img.shape).astype(np.float32)
+    hh = size // 2
+    heat = np.zeros((hh, hh, 2), np.float32)
+    boxes = []
+    used_rows = []
+    for _ in range(int(rng.integers(1, 4))):
+        pair = rng.random() < 0.5
+        members = []
+        for _m in range(2 if pair else 1):
+            crop, text = real_pool[int(rng.integers(0, len(real_pool)))]
+            ch, cw = crop.shape[:2]
+            scale = rng.uniform(0.8, 1.4)
+            nh = int(np.clip(ch * scale, 12, size // 4))
+            nw = int(np.clip(cw * scale, 8, size - 8))
+            members.append(
+                (cv2.resize(crop, (nw, nh), interpolation=cv2.INTER_LINEAR),
+                 text)
+            )
+        gap = int(rng.integers(2, 9)) if pair else 0
+        gh = sum(m[0].shape[0] for m in members) + gap * (len(members) - 1)
+        gw = max(m[0].shape[1] for m in members)
+        if gw >= size - 8 or gh >= size - 8:
+            continue
+        x0 = int(rng.integers(4, size - gw - 4))
+        y0 = int(rng.integers(4, size - gh - 4))
+        if any(not (y0 + gh < r0 - 4 or y0 > r1 + 4) for r0, r1 in used_rows):
+            continue  # groups must not overlap vertically
+        used_rows.append((y0, y0 + gh))
+        yy = y0
+        for m_img, m_text in members:
+            mh, mw = m_img.shape[:2]
+            # crops are BGR; scenes are consumed as RGB (runtime/ocr.py
+            # read_region feeds img_bgr[..., ::-1])
+            img[yy : yy + mh, x0 : x0 + mw] = (
+                m_img[..., ::-1].astype(np.float32) / 255.0
+            )
+            boxes.append((x0, yy, x0 + mw, yy + mh))
+            _paste_crop_heat(heat, x0, yy, mw, mh, len(m_text))
+            yy += mh + gap
+    img = np.clip(img * rng.uniform(0.85, 1.1) + rng.uniform(-0.05, 0.05), 0, 1)
+    return img.astype(np.float32), heat, boxes
+
+
+def build_pool(rng, cfg: CraftTrainConfig, real_pool=None):
     imgs = np.zeros((cfg.pool_size, cfg.size, cfg.size, 3), np.float32)
     heats = np.zeros((cfg.pool_size, cfg.size // 2, cfg.size // 2, 2), np.float32)
     metas = []
     for i in range(cfg.pool_size):
-        imgs[i], heats[i], boxes = render_scene(rng, cfg.size)
+        if real_pool and rng.random() < cfg.real_scene_frac:
+            imgs[i], heats[i], boxes = render_scene_real(rng, real_pool, cfg.size)
+        else:
+            imgs[i], heats[i], boxes = render_scene(rng, cfg.size)
         metas.append(boxes)
     return imgs, heats, metas
 
@@ -167,37 +256,84 @@ def train_craft(cfg: CraftTrainConfig, log=print) -> Dict[str, float]:
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(sched))
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, x, y):
-        def loss_fn(p):
-            ctx = craft.BNCtx()
-            scores = craft.forward(p, x, cdt, bn_ctx=ctx)
-            return jnp.mean((scores - y) ** 2), ctx.updates
-
-        (loss, bn_updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        params = craft.apply_bn_updates(params, bn_updates)
-        return params, opt_state, loss
-
-    @jax.jit
-    def infer(params, x):
-        return craft.forward(params, x, cdt)
-
     t0 = time.time()
+    real_pool = None
+    if cfg.real_labels and os.path.exists(cfg.real_labels):
+        from manual_yolo_tpu.cli.eval_ocr import load_real_crops
+
+        real_pool = [
+            (crop, text)
+            for crop, _cname, text in load_real_crops(
+                cfg.real_labels, splits=tuple(cfg.real_splits)
+            )
+        ]
+        log(f"real crop pool: {len(real_pool)} crops from {cfg.real_splits}")
     log(f"rendering {cfg.pool_size}-scene pool...")
-    imgs, heats, metas = build_pool(rng, cfg)
+    imgs, heats, metas = build_pool(rng, cfg, real_pool)
     log(f"pool ready in {time.time()-t0:.0f}s")
 
-    best = -1.0
-    for s in range(cfg.steps):
-        idx = rng.integers(0, cfg.pool_size, cfg.batch)
-        params, opt_state, loss = step(
-            params, opt_state, jnp.asarray(imgs[idx]), jnp.asarray(heats[idx])
+    # resident device pools (uint8, uploaded once as flat bytes): per-step
+    # host->device traffic is gather indices only, so training stays
+    # compute-bound on the degraded tunnel link (same recipe as train/ocr.py).
+    # channel-last pools are kept as (N, H, W*C) — a trailing dim of 3 would
+    # pad 42x under the TPU (8,128) tile layout; W*C is a multiple of 128 —
+    # and only the gathered BATCH is reshaped to NHWC.
+    from manual_yolo_tpu.train.ocr import _device_put_pool_u8
+
+    n_, h_, w_, c_ = imgs.shape
+    hh_, hw_, hc_ = heats.shape[1:]
+    d_imgs = _device_put_pool_u8(imgs.reshape(n_, h_, w_ * c_))
+    d_heats = _device_put_pool_u8(heats.reshape(n_, hh_, hw_ * hc_))
+
+    # pools enter the jitted programs as ARGUMENTS, never closed-over
+    # constants: a captured Array is baked into the HLO as a literal, which
+    # bloats the compile payload by the full pool size
+    @jax.jit
+    def run_chunk(params, opt_state, pool_imgs, pool_heats, idx):
+        def one_step(carry, idx1):
+            params, opt_state = carry
+            x = pool_imgs[idx1].reshape(-1, h_, w_, c_).astype(jnp.float32) / 255.0
+            y = (
+                pool_heats[idx1].reshape(-1, hh_, hw_, hc_).astype(jnp.float32)
+                / 255.0
+            )
+
+            def loss_fn(p):
+                ctx = craft.BNCtx()
+                scores = craft.forward(p, x, cdt, bn_ctx=ctx)
+                return jnp.mean((scores - y) ** 2), ctx.updates
+
+            (loss, bn_updates), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            params = craft.apply_bn_updates(params, bn_updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), idx
         )
-        if (s + 1) % cfg.eval_every == 0 or s == cfg.steps - 1:
-            eidx = rng.integers(0, cfg.pool_size, cfg.batch)
-            scores = np.asarray(infer(params, jnp.asarray(imgs[eidx])))
+        return params, opt_state, losses[-1]
+
+    @jax.jit
+    def infer_pool(params, pool_imgs, idx):
+        x = pool_imgs[idx].reshape(-1, h_, w_, c_).astype(jnp.float32) / 255.0
+        return craft.forward(params, x, cdt)
+
+    chunk = max(1, cfg.eval_every // 2)
+    best = -1.0
+    s = 0
+    while s < cfg.steps:
+        n = min(chunk, cfg.steps - s)
+        idx = rng.integers(0, cfg.pool_size, (n, cfg.batch)).astype(np.int32)
+        params, opt_state, loss = run_chunk(
+            params, opt_state, d_imgs, d_heats, jnp.asarray(idx)
+        )
+        s += n
+        if s % cfg.eval_every == 0 or s >= cfg.steps:
+            eidx = rng.integers(0, cfg.pool_size, cfg.batch).astype(np.int32)
+            scores = np.asarray(infer_pool(params, d_imgs, jnp.asarray(eidx)))
             f1s = [
                 _line_f1(
                     craft.text_regions_from_scores(scores[i]), metas[int(e)]
@@ -206,13 +342,13 @@ def train_craft(cfg: CraftTrainConfig, log=print) -> Dict[str, float]:
             ]
             f1 = float(np.mean(f1s))
             log(
-                f"step {s+1}/{cfg.steps} mse {float(loss):.5f} "
+                f"step {s}/{cfg.steps} mse {float(loss):.5f} "
                 f"line_f1 {f1:.3f} ({time.time()-t0:.0f}s)"
             )
             if f1 >= best:
                 best = f1
                 save_params(
                     cfg.out_path, params,
-                    meta={"size": cfg.size, "line_f1": f1, "step": s + 1},
+                    meta={"size": cfg.size, "line_f1": f1, "step": s},
                 )
     return {"best_line_f1": best, "wall_s": time.time() - t0}

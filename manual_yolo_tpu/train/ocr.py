@@ -411,41 +411,53 @@ def train_ocr(cfg: OCRTrainConfig, log=print) -> Dict[str, float]:
         inv = jax.random.uniform(ki, (n, 1, 1)) < 0.25
         return jnp.where(inv, 1.0 - out, out)
 
-    def one_step(carry, inp):
-        params, opt_state = carry
-        key, sidx, ridx = inp
-        imgs = d_pool[sidx].astype(jnp.float32) / 255.0  # (B, H, W)
-        labels = d_labels[sidx]
-        lab_pad = d_pad[sidx]
-        if k_real:
-            rimgs = _augment_real_dev(
-                key, d_rpool[ridx].astype(jnp.float32) / 255.0
-            )
-            imgs = jnp.concatenate([rimgs, imgs[k_real:]], axis=0)
-            labels = jnp.concatenate([d_rlabels[ridx], labels[k_real:]], axis=0)
-            lab_pad = jnp.concatenate([d_rpad[ridx], lab_pad[k_real:]], axis=0)
-        imgs = imgs[..., None]
-
-        def loss_fn(p):
-            logits = crnn.forward(p, imgs, cdt)  # (N, T, C)
-            T = logits.shape[1]
-            logit_pad = jnp.zeros((logits.shape[0], T), jnp.float32)
-            per = optax.ctc_loss(logits, logit_pad, labels, lab_pad)
-            return jnp.mean(per)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
-
+    # pools enter the jitted program as ARGUMENTS, never closed-over
+    # constants: a captured Array is baked into the HLO as a literal, which
+    # bloats the compile payload by the full pool size
     @jax.jit
-    def run_chunk(params, opt_state, keys, sidx, ridx):
+    def run_chunk(params, opt_state, pools, keys, sidx, ridx):
         """lax.scan over a chunk of steps: ONE dispatch per chunk, so the
         per-call tunnel round trip (~30 ms) amortises."""
+
+        def one_step(carry, inp):
+            params, opt_state = carry
+            key, sidx1, ridx1 = inp
+            imgs = pools["synth"][sidx1].astype(jnp.float32) / 255.0  # (B,H,W)
+            labels = pools["labels"][sidx1]
+            lab_pad = pools["pad"][sidx1]
+            if k_real:
+                rimgs = _augment_real_dev(
+                    key, pools["real"][ridx1].astype(jnp.float32) / 255.0
+                )
+                imgs = jnp.concatenate([rimgs, imgs[k_real:]], axis=0)
+                labels = jnp.concatenate(
+                    [pools["rlabels"][ridx1], labels[k_real:]], axis=0
+                )
+                lab_pad = jnp.concatenate(
+                    [pools["rpad"][ridx1], lab_pad[k_real:]], axis=0
+                )
+            imgs = imgs[..., None]
+
+            def loss_fn(p):
+                logits = crnn.forward(p, imgs, cdt)  # (N, T, C)
+                T = logits.shape[1]
+                logit_pad = jnp.zeros((logits.shape[0], T), jnp.float32)
+                per = optax.ctc_loss(logits, logit_pad, labels, lab_pad)
+                return jnp.mean(per)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
         (params, opt_state), losses = jax.lax.scan(
             one_step, (params, opt_state), (keys, sidx, ridx)
         )
         return params, opt_state, losses[-1]
+
+    pools = {"synth": d_pool, "labels": d_labels, "pad": d_pad}
+    if have_real:
+        pools.update(real=d_rpool, rlabels=d_rlabels, rpad=d_rpad)
 
     @jax.jit
     def infer(params, imgs):
@@ -476,7 +488,7 @@ def train_ocr(cfg: OCRTrainConfig, log=print) -> Dict[str, float]:
             else np.zeros((n, 1), np.int32)
         )
         params, opt_state, loss = run_chunk(
-            params, opt_state, keys, jnp.asarray(sidx), jnp.asarray(ridx)
+            params, opt_state, pools, keys, jnp.asarray(sidx), jnp.asarray(ridx)
         )
         s += n
         if s % cfg.eval_every == 0 or s >= cfg.steps:

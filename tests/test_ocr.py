@@ -161,3 +161,56 @@ def test_engine_is_callable_as_read_field():
     crop = np.random.default_rng(0).integers(0, 255, (20, 50, 3), np.uint8)
     # callable contract used by LiveLoop/shot when read_fields is absent
     assert eng(crop, "my_stack") is None or isinstance(eng(crop, "my_stack"), str)
+
+
+def test_region_fallback_triggers_on_tall_unread_crops():
+    """read_fields: a tall crop the single-line read leaves empty must be
+    retried through the CRAFT detect-then-read path when a text detector is
+    attached (EasyOCR readtext cascade)."""
+    from manual_yolo_tpu.runtime.ocr import OCREngine
+
+    params = crnn.init_params(jax.random.PRNGKey(0), hidden=32)
+    eng = OCREngine(params, width=96)
+    eng._craft_fwd = object()  # sentinel: "detector attached"
+    called = []
+
+    def fake_region_field(crop, name, min_conf):
+        called.append((name, crop.shape[0]))
+        return "1.2K"
+
+    eng._region_field = fake_region_field
+    rng = np.random.default_rng(0)
+    tall = rng.integers(0, 255, (60, 80, 3), np.uint8)  # > 45 px: candidate
+    short = rng.integers(0, 255, (20, 80, 3), np.uint8)  # single line: skip
+    out = eng.read_fields([tall, short], ["my_bet", "my_stack"],
+                          min_confidence=1.01)  # force both reads to gate out
+    assert out[0] == "1.2K"
+    assert called == [("my_bet", 60)]
+
+
+def test_read_region_with_trained_craft_weights():
+    """End-to-end detect-then-read on a rendered two-line crop; requires the
+    committed CRAFT + CRNN checkpoints (skips if not trained yet)."""
+    import os
+
+    if not (os.path.exists("weights/craft_synth.npz")
+            and os.path.exists("weights/crnn_real.npz")):
+        pytest.skip("trained weights not present")
+    from PIL import Image, ImageDraw, ImageFont
+
+    from manual_yolo_tpu.runtime.ocr import OCREngine
+    from manual_yolo_tpu.train.ocr import FONTS
+
+    eng = OCREngine.from_npz("weights/crnn_real.npz",
+                             text_detector="weights/craft_synth.npz")
+    img = Image.new("RGB", (200, 90), (28, 28, 28))
+    d = ImageDraw.Draw(img)
+    font = ImageFont.truetype(FONTS[1], 22)
+    d.text((12, 8), "12.5K", fill=(235, 235, 235), font=font)
+    d.text((12, 50), "3400", fill=(235, 235, 235), font=font)
+    bgr = np.asarray(img)[..., ::-1].copy()
+    lines = eng.read_region(bgr, "numeric", min_confidence=0.1)
+    texts = [t for _b, t, _c in lines]
+    assert len(lines) >= 2, f"expected 2 text lines, got {lines}"
+    assert any("12.5K" in t or "125K" in t for t in texts), texts
+    assert any("3400" in t for t in texts), texts
