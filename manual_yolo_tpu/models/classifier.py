@@ -89,13 +89,17 @@ class RankClassifier:
         from manual_yolo_tpu.core.serialization import load_params
 
         params, meta = load_params(path)
-        params = jax.tree_util.tree_map(jnp.asarray, params)
         sp = meta.get("spec", {})
         spec = yolov8.build_spec(
             sp.get("variant", "classify"), sp.get("scale", "n"), int(sp.get("nc", 13))
         )
+        # fold on HOST numpy BEFORE any device placement: folding device
+        # arrays would issue ~100 small device->host fetches, each of which
+        # can hang on a flaky tunnel and the first of which permanently
+        # degrades the process's upload rate (docs/BENCH_NOTES.md)
         if fold:
             params = yolov8.fold_params(params, spec)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
         names = {int(k): v for k, v in meta.get("names", {}).items()}
         return cls(params, spec, names or {i: n for i, n in enumerate(RANK_NAMES_13)},
                    compute_dtype)

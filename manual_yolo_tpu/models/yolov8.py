@@ -344,7 +344,21 @@ def import_torch_state(
 
 
 def fold_params(params: List[Any], spec: ModelSpec) -> List[Any]:
-    """Fold explicit BN sub-dicts into conv biases (training -> inference)."""
+    """Fold explicit BN sub-dicts into conv biases (training -> inference).
+
+    Folding is pure host numpy. If the tree holds device arrays, fetch it
+    in ONE bulk ``jax.device_get`` first: folding leaf-by-leaf would issue
+    ~100 small device->host fetches — on a tunnelled chip each can hang,
+    and the first permanently degrades the process's upload rate
+    (docs/BENCH_NOTES.md "download poison").
+    """
+    import jax
+
+    if any(
+        isinstance(leaf, jax.Array)
+        for leaf in jax.tree_util.tree_leaves(params)
+    ):
+        params = jax.device_get(params)
 
     def fold_conv(p):
         if "bn" not in p:

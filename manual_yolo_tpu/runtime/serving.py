@@ -250,12 +250,30 @@ class BatchStream:
     trips amortised over B frames, with two batches in flight so the link
     streams while the device computes.
 
-    ``delta=True`` additionally XOR-encodes each canvas batch against the
-    previous one (VNC-style): screen-capture streams are mostly static, so
-    the payload is mostly zeros, which the link layer compresses in transit
-    — cutting effective upload bytes by the frame-to-frame change rate. The
-    device reconstructs with one ``bitwise_xor`` against its kept copy
-    (lossless), so detection numerics are identical to raw mode.
+    ``delta=True`` enables tri-mode canvas streaming against the previous
+    batch (VNC-style, lossless — detection numerics identical to raw mode):
+
+      * **skip**  — batch is byte-identical to the previous one: upload
+        NOTHING; the device reuses its resident canvas copy.
+      * **nibble** — for each slot and channel the arithmetic delta's
+        (max - min) span is <= 15, so delta - bias fits a signed nibble
+        [-8, 7] for EVERY pixel with bias in [dmax-7, dmin+8] (bias is
+        clipped toward 0 so a zero-delta region packs as 0x88 bytes, the
+        most transit-compressible encoding). Upload ONE flat payload of
+        4-bit-packed residuals (HALF the bytes) + per-slot-channel biases;
+        the device unpacks and wraparound-adds — bit-exact. Covers global
+        photometric shifts (one value per channel +- clipping), dithering,
+        capture noise.
+      * **raw**   — a wider delta span anywhere (e.g. a repaint: new card
+        pixels differ by hundreds): upload the full canvas batch.
+
+    Why this matters on a tunnelled chip: the FIRST device->host download
+    of any size (even a 4-byte scalar fetch) permanently drops the
+    process's host->device upload rate from ~1.5 GB/s to ~40-100 MB/s
+    (measured; no recovery after 6+ min idle; independent of which
+    programs ran). A serving loop necessarily downloads results, so its
+    uploads always run post-flip — making upload BYTES the binding
+    resource. See docs/BENCH_NOTES.md for the full isolation.
     """
 
     def __init__(
@@ -303,20 +321,24 @@ class BatchStream:
         ]
         self._staging_i = 0
         self.delta = delta
-        # XOR payload buffers (separate from staging: staging slot N stays
-        # alive as the next submit's XOR reference)
-        self._xorbuf = [
-            np.zeros((batch, imgsz, imgsz, 3), np.uint8) for _ in range(3)
+        n_px = batch * imgsz * imgsz * 3
+        self._n_nib = n_px // 2
+        self._n_bias = batch * 3
+        # one flat payload per batch = ONE device_put: post-flip every put
+        # pays a ~60 ms fixed stall on top of the rate cap, so splitting
+        # nibbles/biases into separate uploads would cost more than the
+        # bytes they carry. (3 buffers: staging slot N stays alive as the
+        # next submit's delta reference)
+        self._nibbuf = [
+            np.zeros((self._n_nib + self._n_bias,), np.uint8)
+            for _ in range(3)
         ]
+        self._delta16 = np.zeros((batch, imgsz, imgsz, 3), np.int16)
         self._prev_staging: Optional[np.ndarray] = None
-        self._dev_prev = jnp.zeros((batch * imgsz * imgsz * 3,), jnp.uint8)
+        self._dev_prev = jnp.zeros((n_px,), jnp.uint8)
+        self.mode_counts = {"raw": 0, "nibble": 0, "skip": 0}
 
-        def detect_batch(params, payload_flat_u8, prev_flat_u8):
-            # flat uint8 input: multi-dim uint8 device_put pays a host-side
-            # relayout (~17x slower through the tunnel); reshape on device.
-            # payload is canvas XOR prev (prev = zeros on the first batch /
-            # in raw mode); reconstruct and keep the canvas for the next call
-            canvases_flat_u8 = jax.lax.bitwise_xor(payload_flat_u8, prev_flat_u8)
+        def detect_core(params, canvases_flat_u8):
             canvases_u8_bgr = canvases_flat_u8.reshape(batch, imgsz, imgsz, 3)
             x = canvases_u8_bgr[..., ::-1].astype(jnp.float32) / 255.0
             raw = yolov8.forward_detect_raw(params, det_spec, x, cdt)
@@ -342,6 +364,37 @@ class BatchStream:
             )  # (B, max_det, 7)
             return packed.reshape(-1), canvases_flat_u8
 
+        def detect_raw(params, canvas_flat_u8):
+            # flat uint8 input: multi-dim uint8 device_put pays a host-side
+            # relayout (~17x slower through the tunnel); reshape on device
+            return detect_core(params, canvas_flat_u8)
+
+        n_nib, n_bias = self._n_nib, self._n_bias
+
+        def detect_nibble(params, payload_u8, prev_flat_u8):
+            # payload = [packed residual nibbles | per-slot-channel bias
+            # (mod 256)]. nibble byte i = v[2i] | v[2i+1] << 4,
+            # v = (delta - bias + 8) mod 256 in [0, 15]; uint8 wraparound
+            # adds make the reconstruction bit-exact. (No scatter here on
+            # purpose: a sparse-corrections variant compiled to a 67 MB
+            # TPU executable — scatter over a 39M-element array is poison.)
+            nib = payload_u8[:n_nib]
+            bias = payload_u8[n_nib:].reshape(batch, 1, 1, 3)
+            lo = jnp.bitwise_and(nib, jnp.uint8(0xF))
+            hi = jnp.right_shift(nib, jnp.uint8(4))
+            v = jnp.stack([lo, hi], axis=-1).reshape(
+                batch, imgsz, imgsz, 3
+            )
+            canvases = (
+                prev_flat_u8.reshape(batch, imgsz, imgsz, 3)
+                + (v - jnp.uint8(8))
+                + bias
+            ).reshape(-1)
+            return detect_core(params, canvases)
+
+        def detect_skip(params, prev_flat_u8):
+            return detect_core(params, prev_flat_u8)
+
         def classify_batch(params, crops_flat_u8):
             crops_u8_bgr = crops_flat_u8.reshape(batch * max_rank, 64, 64, 3)
             x = crops_u8_bgr[..., ::-1].astype(jnp.float32) / 255.0
@@ -349,7 +402,9 @@ class BatchStream:
             logits = yolov8.forward_classify(params, cls_spec, x, jnp.float32)
             return jax.nn.softmax(logits, axis=-1).reshape(-1)
 
-        self._detect = jax.jit(detect_batch)
+        self._detect_raw = jax.jit(detect_raw)
+        self._detect_nibble = jax.jit(detect_nibble)
+        self._detect_skip = jax.jit(detect_skip)
         self._classify = jax.jit(classify_batch)
         self._pending: Deque[Tuple] = collections.deque()
 
@@ -377,6 +432,35 @@ class BatchStream:
         self._pump_thread = threading.Thread(target=_pump, daemon=True)
         self._pump_thread.start()
 
+    def _encode_nibble(self, staging: np.ndarray) -> Optional[np.ndarray]:
+        """Build the bias+nibble payload, or None -> raw mode.
+
+        Fits iff each slot-channel's delta span (max - min) <= 15: then a
+        bias in [dmax-7, dmin+8] puts EVERY residual in the signed-nibble
+        range [-8, 7]. Bias is clipped toward 0 so unchanged regions pack
+        as constant 0x88 bytes (maximally transit-compressible). All
+        arithmetic is mod 256 -> reconstruction is bit-exact.
+        """
+        B = self.B
+        d = np.subtract(staging, self._prev_staging, dtype=np.int16,
+                        out=self._delta16)
+        dmax = d.max(axis=(1, 2))  # (B, 3)
+        dmin = d.min(axis=(1, 2))
+        if int((dmax - dmin).max()) > 15:
+            return None
+        bias = np.clip(0, dmax - 7, dmin + 8).astype(np.int16)
+        d -= bias[:, None, None, :]
+        d += 8  # v = delta - bias + 8 in [0, 15] by construction
+        v = d.reshape(-1)
+        payload = self._nibbuf[self._staging_i]
+        np.bitwise_or(
+            v[0::2].astype(np.uint8),
+            np.left_shift(v[1::2], 4).astype(np.uint8),
+            out=payload[: self._n_nib],
+        )
+        payload[self._n_nib :] = (bias.reshape(-1) % 256).astype(np.uint8)
+        return payload
+
     def _letterbox_into(self, dst: np.ndarray, frame: np.ndarray):
         import cv2
 
@@ -403,15 +487,25 @@ class BatchStream:
         metas = []
         for i, f in enumerate(frames):
             metas.append(self._letterbox_into(staging[i], f))
+        mode, payload = "raw", None
         if self.delta and self._prev_staging is not None:
-            xorbuf = self._xorbuf[self._staging_i]
-            np.bitwise_xor(staging, self._prev_staging, out=xorbuf)
-            payload = xorbuf
+            if np.array_equal(staging, self._prev_staging):
+                mode = "skip"
+            else:
+                payload = self._encode_nibble(staging)
+                if payload is not None:
+                    mode = "nibble"
+        if mode == "skip":
+            fut, dev_canvas = self._detect_skip(self.det_params, self._dev_prev)
+        elif mode == "nibble":
+            fut, dev_canvas = self._detect_nibble(
+                self.det_params, jnp.asarray(payload), self._dev_prev
+            )
         else:
-            payload = staging
-        fut, dev_canvas = self._detect(
-            self.det_params, jnp.asarray(payload.reshape(-1)), self._dev_prev
-        )
+            fut, dev_canvas = self._detect_raw(
+                self.det_params, jnp.asarray(staging.reshape(-1))
+            )
+        self.mode_counts[mode] += 1
         if self.delta:
             self._dev_prev = dev_canvas
             self._prev_staging = staging

@@ -117,9 +117,10 @@ def test_host_and_device_letterbox_agree(engine):
 
 
 def test_batch_stream_delta_matches_raw():
-    """XOR-delta canvas encoding must be LOSSLESS: identical detections to
-    raw mode across several batches (including the first, which XORs
-    against device zeros)."""
+    """Tri-mode delta canvas streaming must be LOSSLESS: identical
+    detections to raw mode across a stream that exercises ALL THREE modes
+    (first-batch raw, nibble-sized jitter, an identical repeat -> skip,
+    and a large local repaint -> raw fallback)."""
     from manual_yolo_tpu.runtime.serving import BatchStream
 
     det_spec = yolov8.build_spec("detect", "n", nc=64)
@@ -147,6 +148,10 @@ def test_batch_stream_delta_matches_raw():
         jit = rng.integers(-4, 5, (1, 1, 3), np.int16)
         f = np.clip(base.astype(np.int16) + jit, 0, 255).astype(np.uint8)
         batches.append([f, f.copy()])
+    batches.append([b.copy() for b in batches[-1]])  # identical -> skip
+    repaint = batches[-1][0].copy()
+    repaint[40:120, 100:220] = 255 - repaint[40:120, 100:220]  # card flip
+    batches.append([repaint, batches[-1][1].copy()])  # big delta -> raw
 
     s_raw, s_delta = build(False), build(True)
     for b in batches:
@@ -156,3 +161,8 @@ def test_batch_stream_delta_matches_raw():
         r2 = s_delta.collect_batch()
         assert r1 == r2
         assert any(len(d) for d in r1)  # stream actually detected something
+    # the stream above must have exercised every encoder mode
+    assert s_delta.mode_counts["raw"] >= 2  # first batch + repaint
+    assert s_delta.mode_counts["nibble"] >= 2
+    assert s_delta.mode_counts["skip"] == 1
+    assert s_raw.mode_counts == {"raw": 5, "nibble": 0, "skip": 0}
