@@ -166,3 +166,34 @@ def test_batch_stream_delta_matches_raw():
     assert s_delta.mode_counts["nibble"] >= 2
     assert s_delta.mode_counts["skip"] == 1
     assert s_raw.mode_counts == {"raw": 5, "nibble": 0, "skip": 0}
+
+
+def test_batch_stream_letterbox_geometry_change_clears_padding():
+    """If a slot's frame geometry changes, stale pixels from the previous
+    geometry must not survive in the new padding region (the detector would
+    see ghost content)."""
+    from manual_yolo_tpu.runtime.serving import BatchStream
+
+    det_spec = yolov8.build_spec("detect", "n", nc=4)
+    cls_spec = yolov8.build_spec("classify", "n", nc=13)
+    det_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(0), det_spec), det_spec
+    )
+    cls_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(1), cls_spec), cls_spec
+    )
+    s = BatchStream(
+        det_params=det_params, det_spec=det_spec,
+        cls_params=cls_params, cls_spec=cls_spec,
+        names={i: f"c{i}" for i in range(4)}, rank_names={},
+        batch=1, imgsz=128, compute_dtype=jnp.float32, use_pallas_nms=False,
+    )
+    wide = np.full((64, 256, 3), 250, np.uint8)   # content rows 48..79
+    tall = np.full((256, 64, 3), 250, np.uint8)   # content cols 48..79
+    dst = s._staging[0][0]
+    s._letterbox_into(dst, wide, key=(0, 0))
+    assert dst[0, 0, 0] == 114 and dst[64, 64, 0] == 250
+    s._letterbox_into(dst, tall, key=(0, 0))
+    # (64, 10) was wide-content, is tall-padding: stale 250 must be gone
+    assert dst[64, 10, 0] == 114 and dst[0, 10, 0] == 114
+    assert dst[64, 64, 0] == 250
