@@ -338,6 +338,7 @@ class BatchStream:
         self._prev_frames: List[Optional[np.ndarray]] = [None] * batch
         self._prev_metas: List = [None] * batch
         self._slot_geom: Dict = {}
+        self.memo_hits = 0
         self._dev_prev = jnp.zeros((n_px,), jnp.uint8)
         self.mode_counts = {"raw": 0, "nibble": 0, "skip": 0}
 
@@ -424,14 +425,28 @@ class BatchStream:
         self._work_q: "queue_mod.Queue" = queue_mod.Queue()
 
         def _worker():
+            import copy as copy_mod
+
+            import jax as _jax
+
+            last_out = None
             while True:
                 item = self._work_q.get()
                 if item is None:
                     return
                 try:
-                    item["out"] = self._finish_batch(
-                        item["frames"], item["metas"], item["fut"]
-                    )
+                    if item["memo"] and last_out is not None:
+                        # identical input -> identical output; still await
+                        # the dispatched detect for device backpressure
+                        _jax.block_until_ready(item["fut"])
+                        item["out"] = copy_mod.deepcopy(last_out)
+                        self.memo_hits += 1
+                    else:
+                        item["out"] = self._finish_batch(
+                            item["frames"], item["metas"], item["fut"]
+                        )
+                        # pristine copy: callers may mutate what they collect
+                        last_out = copy_mod.deepcopy(item["out"])
                 except BaseException as e:  # re-raised in collect_batch
                     item["err"] = e
                 item["evt"].set()
@@ -551,6 +566,12 @@ class BatchStream:
 
         item = {
             "frames": frames, "metas": metas, "fut": fut,
+            # skip-mode with every slot byte-identical -> detect ran on the
+            # SAME resident canvas and the crops come from identical frames,
+            # so the whole tail's outputs are provably identical to the
+            # previous batch's: the worker reuses them instead of re-fetching
+            # and re-classifying (the detect program itself still executes)
+            "memo": mode == "skip" and all_unchanged,
             "evt": threading.Event(), "out": None, "err": None,
         }
         self._pending.append(item)

@@ -197,3 +197,43 @@ def test_batch_stream_letterbox_geometry_change_clears_padding():
     # (64, 10) was wide-content, is tall-padding: stale 250 must be gone
     assert dst[64, 10, 0] == 114 and dst[0, 10, 0] == 114
     assert dst[64, 64, 0] == 250
+
+
+def test_batch_stream_memoized_static_tail_matches_fresh():
+    """A skip-mode batch whose raw frames are all byte-identical to the
+    previous batch must return results EQUAL to a fresh computation (the
+    worker memoizes the tail), and mutating collected results must not
+    corrupt the memo."""
+    from manual_yolo_tpu.runtime.serving import BatchStream
+
+    det_spec = yolov8.build_spec("detect", "n", nc=64)
+    cls_spec = yolov8.build_spec("classify", "n", nc=13)
+    det_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(0), det_spec), det_spec
+    )
+    cls_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(1), cls_spec), cls_spec
+    )
+    s = BatchStream(
+        det_params=det_params, det_spec=det_spec,
+        cls_params=cls_params, cls_spec=cls_spec,
+        names=taxonomy.CLASSES, rank_names={i: str(i) for i in range(13)},
+        batch=2, imgsz=192, conf=1e-6, compute_dtype=jnp.float32,
+        use_pallas_nms=False,
+    )
+    rng = np.random.default_rng(3)
+    f = rng.integers(0, 255, (240, 400, 3), np.uint8)
+    batch = [f, f.copy()]
+    s.submit_batch(batch)
+    first = s.collect_batch()
+    s.submit_batch([b.copy() for b in batch])  # identical content, new arrays
+    second = s.collect_batch()
+    assert s.memo_hits == 1
+    assert second == first
+    # caller mutation must not leak into the memo
+    if second[0]:
+        second[0][0]["ocr_text"] = "MUTATED"
+    s.submit_batch([b.copy() for b in batch])
+    third = s.collect_batch()
+    assert s.memo_hits == 2
+    assert third == first
