@@ -23,7 +23,10 @@ OCR_RANK_CORRECTIONS = {"O": "0", "I": "1", "S": "5", "Z": "2", "B": "8", "T": "
 CARD_PATTERN = re.compile(r"^(A|K|Q|J|T|10|[2-9])([SHDCshdc♠♥♦♣])$", re.IGNORECASE)
 NUMERIC_PATTERN = re.compile(r"[\d,.]+[kKmMbB]?")
 POT_PATTERN = re.compile(r"pot[:]?\s*([\d,.kKmMbM]+)", re.IGNORECASE)
-NAME_PATTERN = re.compile(r"^[a-zA-Z0-9_]{2,25}$")
+# the reference validates ^[a-zA-Z0-9_]{2,25}$ (yolo.py:305) — but the real
+# UI shows dotted/hyphenated usernames ("s.kaahyap"), which that regex can
+# NEVER read correctly; we extend it (interior . and - allowed)
+NAME_PATTERN = re.compile(r"^[a-zA-Z0-9_][a-zA-Z0-9_.-]{0,23}[a-zA-Z0-9_]$")
 
 _DIGIT_RANKS = frozenset({"10", "9", "8", "7", "6", "5", "4", "3", "2"})
 
@@ -104,7 +107,7 @@ def extract_name(text: str) -> Optional[str]:
     """Validate a player-name string (reference yolo.py:298-315)."""
     if not text:
         return None
-    t = re.sub(r"[^A-Za-z0-9_]", "", text.strip())
+    t = re.sub(r"[^A-Za-z0-9_.-]", "", text.strip())
     return t if NAME_PATTERN.match(t) else None
 
 

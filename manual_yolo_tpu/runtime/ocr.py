@@ -34,11 +34,17 @@ from manual_yolo_tpu.ops import ctc as ctc_ops
 from manual_yolo_tpu.ops import image as img_ops
 
 NUMERIC_ALLOW = "0123456789.,kKmMbBlL$"  # L = lakh (the UI shows "4.55L")
+# reference allowlist (yolo.py:305) + interior "."/"-": real usernames show
+# them ("s.kaahyap") and the reference's own regex could never read those
 NAME_ALLOW = (
-    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_.-"
 )
 CARD_ALLOW = "AKQJT2345678910SHDCshdc"
-GAME_ID_ALLOW = NAME_ALLOW
+# game ids are alnum/underscore — no dot/dash (those would corrupt the
+# digit runs of "Game ID : 232025507")
+GAME_ID_ALLOW = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+)
 
 
 def field_kind(class_name: str) -> str:

@@ -65,6 +65,13 @@ def test_extract_numeric_and_name():
     assert extract_numeric_value("xyz") is None
     assert extract_name("Player_1") == "Player_1"
     assert extract_name("x") is None  # too short
+    # beyond the reference's ^[a-zA-Z0-9_]{2,25}$: real usernames carry
+    # interior dots/hyphens ("s.kaahyap" in the labelled real crops)
+    assert extract_name("s.kaahyap") == "s.kaahyap"
+    assert extract_name("top-gun99") == "top-gun99"
+    assert extract_name(".hidden") is None  # no leading/trailing separator
+    assert extract_name("trail.") is None
+    assert extract_name("0") is None  # single char still rejected
 
 
 def test_suit_helpers():
