@@ -151,16 +151,15 @@ def measure_compute_only(stream) -> float:
     (detect+NMS+pack per batch; classify excluded — it is ~0.3 ms/frame
     and crop-dependent)."""
     import jax
-    import jax.numpy as jnp
 
-    n = BATCH * stream.imgsz * stream.imgsz * 3
-    payload = jax.device_put(jnp.zeros((n,), jnp.uint8))
-    out = stream._detect_raw(stream.det_params, payload)
+    # the skip program IS "detect the resident canvas" — already compiled
+    # by the warmup, and _dev_prev holds real table content at this point
+    out = stream._detect_skip(stream.det_params, stream._dev_prev)
     jax.block_until_ready(out)
     reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = stream._detect_raw(stream.det_params, payload)
+        out = stream._detect_skip(stream.det_params, stream._dev_prev)
     jax.block_until_ready(out)
     return BATCH * reps / (time.perf_counter() - t0)
 

@@ -267,6 +267,14 @@ class BatchStream:
       * **raw**   — a wider delta span anywhere (e.g. a repaint: new card
         pixels differ by hundreds): upload the full canvas batch.
 
+    **Active-rows upload**: when every slot shares one letterbox geometry
+    with full-width content (the steady-state capture case — e.g.
+    1920x1200 -> 640x400 content centered in a 640x640 canvas), only the
+    content rows are uploaded and the device pads the constant-114
+    letterbox bars back on (``jnp.pad``, fused into the detect program).
+    That removes the padding bytes — 37.5 % of every raw AND nibble payload
+    at 1920x1200 — from the link, bit-exactly.
+
     Why this matters on a tunnelled chip: the FIRST device->host download
     of any size (even a 4-byte scalar fetch) permanently drops the
     process's host->device upload rate from ~1.5 GB/s to ~40-100 MB/s
@@ -410,6 +418,16 @@ class BatchStream:
         self._detect_nibble = jax.jit(detect_nibble)
         self._detect_skip = jax.jit(detect_skip)
         self._classify = jax.jit(classify_batch)
+        self._detect_core = detect_core
+        # active-rows program cache: (top, nh) -> (raw_fn, nibble_fn)
+        self._active_progs: Dict[Tuple[int, int], Tuple] = {}
+        # delta scratch per active-height (contiguous, so reshape(-1) on the
+        # residual is a view, not a 10+ MB copy per batch)
+        self._delta_scratch: Dict[int, np.ndarray] = {imgsz: self._delta16}
+        # letterbox geometry of the previous batch's device canvas: active
+        # nibble decode leaves the padding rows untouched, so it is only
+        # valid when the resident canvas's padding is known to be 114 there
+        self._prev_geom: Optional[Tuple[int, int]] = None
         self._pending: Deque[Dict] = collections.deque()
 
         # Finisher worker: the tunnelled PJRT client only makes transfer
@@ -454,8 +472,59 @@ class BatchStream:
         self._worker_thread = threading.Thread(target=_worker, daemon=True)
         self._worker_thread.start()
 
-    def _encode_nibble(self, staging: np.ndarray) -> Optional[np.ndarray]:
-        """Build the bias+nibble payload, or None -> raw mode.
+    def _get_active_progs(self, top: int, nh: int):
+        """Lazily build jitted detect programs that take ONLY the content
+        rows ``[top, top+nh)`` and pad the 114 letterbox bars on device."""
+        key = (top, nh)
+        if key not in self._active_progs:
+            import jax
+            import jax.numpy as jnp
+
+            B, imgsz = self.B, self.imgsz
+            bot = imgsz - top - nh
+            n_act = B * nh * imgsz * 3
+            detect_core = self._detect_core
+
+            def raw_active(params, act_flat_u8):
+                act = act_flat_u8.reshape(B, nh, imgsz, 3)
+                canv = jnp.pad(
+                    act, ((0, 0), (top, bot), (0, 0), (0, 0)),
+                    constant_values=np.uint8(114),
+                )
+                return detect_core(params, canv.reshape(-1))
+
+            def nibble_active(params, payload_u8, prev_flat_u8):
+                nib = payload_u8[: n_act // 2]
+                bias = payload_u8[n_act // 2 :].reshape(B, 1, 1, 3)
+                lo = jnp.bitwise_and(nib, jnp.uint8(0xF))
+                hi = jnp.right_shift(nib, jnp.uint8(4))
+                v = jnp.stack([lo, hi], axis=-1).reshape(B, nh, imgsz, 3)
+                resid = (v - jnp.uint8(8)) + bias  # uint8 wraparound
+                resid_full = jnp.pad(resid, ((0, 0), (top, bot), (0, 0), (0, 0)))
+                canvases = (
+                    prev_flat_u8.reshape(B, imgsz, imgsz, 3) + resid_full
+                ).reshape(-1)
+                return detect_core(params, canvases)
+
+            self._active_progs[key] = (jax.jit(raw_active), jax.jit(nibble_active))
+        return self._active_progs[key]
+
+    def _batch_geom(self, metas) -> Optional[Tuple[int, int]]:
+        """(top, nh) when every slot letterboxed to the SAME full-width
+        geometry (active-rows upload applies); None otherwise."""
+        g0 = metas[0][2] if metas and metas[0] is not None else None
+        if g0 is None or g0[1] != self.imgsz:  # nw must span full width
+            return None
+        for m in metas:
+            if m is None or m[2] != g0 or m[1][1] != 0:
+                return None
+        return (metas[0][1][0], g0[0])  # (top, nh)
+
+    def _encode_nibble(
+        self, staging: np.ndarray, top: int = 0, nh: Optional[int] = None
+    ) -> Optional[np.ndarray]:
+        """Build the bias+nibble payload over rows [top, top+nh), or None
+        -> raw mode.
 
         Fits iff each slot-channel's delta span (max - min) <= 15: then a
         bias in [dmax-7, dmin+8] puts EVERY residual in the signed-nibble
@@ -464,8 +533,15 @@ class BatchStream:
         arithmetic is mod 256 -> reconstruction is bit-exact.
         """
         B = self.B
-        d = np.subtract(staging, self._prev_staging, dtype=np.int16,
-                        out=self._delta16)
+        nh = self.imgsz if nh is None else nh
+        scratch = self._delta_scratch.get(nh)
+        if scratch is None:
+            scratch = self._delta_scratch.setdefault(
+                nh, np.zeros((B, nh, self.imgsz, 3), np.int16)
+            )
+        act = staging[:, top : top + nh]
+        d = np.subtract(act, self._prev_staging[:, top : top + nh],
+                        dtype=np.int16, out=scratch)
         dmax = d.max(axis=(1, 2))  # (B, 3)
         dmin = d.min(axis=(1, 2))
         if int((dmax - dmin).max()) > 15:
@@ -474,14 +550,17 @@ class BatchStream:
         d -= bias[:, None, None, :]
         d += 8  # v = delta - bias + 8 in [0, 15] by construction
         v = d.reshape(-1)
+        n_nib = v.size // 2
         payload = self._nibbuf[self._staging_i]
         np.bitwise_or(
             v[0::2].astype(np.uint8),
             np.left_shift(v[1::2], 4).astype(np.uint8),
-            out=payload[: self._n_nib],
+            out=payload[:n_nib],
         )
-        payload[self._n_nib :] = (bias.reshape(-1) % 256).astype(np.uint8)
-        return payload
+        payload[n_nib : n_nib + self._n_bias] = (
+            bias.reshape(-1) % 256
+        ).astype(np.uint8)
+        return payload[: n_nib + self._n_bias]
 
     def _letterbox_into(self, dst: np.ndarray, frame: np.ndarray, key=None):
         import cv2
@@ -504,7 +583,7 @@ class BatchStream:
             dst[top : top + nh, left : left + nw] = cv2.resize(
                 frame, (nw, nh), interpolation=cv2.INTER_LINEAR
             )
-        return r, (top, left)
+        return r, (top, left), (nh, nw)
 
     def submit_batch(self, frames: List[np.ndarray]) -> None:
         """Stage + dispatch one batch of exactly B frames (async)."""
@@ -539,20 +618,38 @@ class BatchStream:
                 all_unchanged = False
             if self.delta:
                 self._prev_frames[i] = f
+        geom = self._batch_geom(metas)
         mode, payload = "raw", None
         if self.delta and self._prev_staging is not None:
             if all_unchanged or np.array_equal(staging, self._prev_staging):
                 mode = "skip"
             else:
-                payload = self._encode_nibble(staging)
+                # active nibble decode touches only the content rows, so the
+                # resident canvas's padding must already be 114 there — true
+                # iff the previous batch shared this geometry
+                if geom is not None and self._prev_geom == geom:
+                    payload = self._encode_nibble(staging, geom[0], geom[1])
+                else:
+                    payload = self._encode_nibble(staging)
                 if payload is not None:
                     mode = "nibble"
         if mode == "skip":
             fut, dev_canvas = self._detect_skip(self.det_params, self._dev_prev)
         elif mode == "nibble":
-            fut, dev_canvas = self._detect_nibble(
-                self.det_params, jnp.asarray(payload), self._dev_prev
-            )
+            if geom is not None and self._prev_geom == geom:
+                _, nibble_fn = self._get_active_progs(*geom)
+                fut, dev_canvas = nibble_fn(
+                    self.det_params, jnp.asarray(payload), self._dev_prev
+                )
+            else:
+                fut, dev_canvas = self._detect_nibble(
+                    self.det_params, jnp.asarray(payload), self._dev_prev
+                )
+        elif geom is not None:
+            raw_fn, _ = self._get_active_progs(*geom)
+            top, nh = geom
+            act = np.ascontiguousarray(staging[:, top : top + nh])
+            fut, dev_canvas = raw_fn(self.det_params, jnp.asarray(act.reshape(-1)))
         else:
             fut, dev_canvas = self._detect_raw(
                 self.det_params, jnp.asarray(staging.reshape(-1))
@@ -562,6 +659,8 @@ class BatchStream:
             self._dev_prev = dev_canvas
             self._prev_staging = staging
             self._prev_metas = list(metas)
+        if mode != "skip":
+            self._prev_geom = geom
         import threading
 
         item = {
@@ -600,7 +699,7 @@ class BatchStream:
 
         for bi in range(self.B):
             frame = frames[bi]
-            r, (top, left) = metas[bi]
+            r, (top, left), _ = metas[bi]
             n = int(packed[bi, 0, 6])
             h, w = frame.shape[:2]
             boxes = (packed[bi, :n, :4] - [left, top, left, top]) / r

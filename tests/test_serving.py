@@ -237,3 +237,53 @@ def test_batch_stream_memoized_static_tail_matches_fresh():
     third = s.collect_batch()
     assert s.memo_hits == 2
     assert third == first
+
+
+def test_batch_stream_active_rows_upload_lossless():
+    """Uniform-geometry batches must route through the active-rows
+    programs (content rows only; 114 bars padded on device) with results
+    equal to full-canvas raw mode — including across a geometry CHANGE,
+    where the nibble-active gate must fall back (the resident canvas's
+    padding is unknown at the new geometry)."""
+    from manual_yolo_tpu.runtime.serving import BatchStream
+
+    det_spec = yolov8.build_spec("detect", "n", nc=64)
+    cls_spec = yolov8.build_spec("classify", "n", nc=13)
+    det_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(0), det_spec), det_spec
+    )
+    cls_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(1), cls_spec), cls_spec
+    )
+
+    def build(delta):
+        return BatchStream(
+            det_params=det_params, det_spec=det_spec,
+            cls_params=cls_params, cls_spec=cls_spec,
+            names=taxonomy.CLASSES, rank_names={i: str(i) for i in range(13)},
+            batch=2, imgsz=192, conf=1e-6, compute_dtype=jnp.float32,
+            use_pallas_nms=False, delta=delta,
+        )
+
+    rng = np.random.default_rng(3)
+    wide = rng.integers(0, 255, (240, 400, 3), np.uint8)    # geometry A
+    wide2 = np.clip(wide.astype(np.int16) + 3, 0, 255).astype(np.uint8)
+    tall = rng.integers(0, 255, (400, 240, 3), np.uint8)    # geometry B (nw<imgsz)
+    batches = [[wide, wide.copy()], [wide2, wide2.copy()],
+               [tall, tall.copy()], [wide, wide.copy()],
+               [wide2, wide2.copy()]]
+
+    s_raw, s_delta = build(False), build(True)
+    for b in batches:
+        s_raw.submit_batch(b)
+        s_delta.submit_batch(b)
+        assert s_raw.collect_batch() == s_delta.collect_batch()
+    # geometry A is full-width -> active programs were built and used
+    r, nh, nw, top, left = __import__(
+        "manual_yolo_tpu.ops.letterbox", fromlist=["letterbox_params"]
+    ).letterbox_params((240, 400), (192, 192))
+    assert (top, nh) in s_delta._active_progs
+    # batch 2 (A->A jitter) ran active-nibble; batch 5 (A->A after B) too,
+    # but batch 4 (B->A) must NOT have used nibble-active (prev_geom gate)
+    assert s_delta.mode_counts["nibble"] >= 1
+    assert s_delta.mode_counts["raw"] >= 3  # first, tall, and B->A switch
