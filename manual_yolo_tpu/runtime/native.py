@@ -81,6 +81,11 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p,
         ]
+        lib.nibble_encode.restype = ctypes.c_int32
+        lib.nibble_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
         return lib
 
@@ -197,6 +202,33 @@ def bgra_to_bgr(frame_bgra: np.ndarray) -> np.ndarray:
         lib.bgra_to_bgr(_buf(src), _buf(dst), h * w)
         return dst
     return np.ascontiguousarray(frame_bgra[..., :3])
+
+
+def nibble_encode(
+    cur: np.ndarray,
+    prev: np.ndarray,
+    top: int,
+    nh: int,
+    out_nib: np.ndarray,
+    out_bias: np.ndarray,
+) -> Optional[bool]:
+    """Native tri-mode delta encoder over rows [top, top+nh) of (B, H, W, 3)
+    uint8 canvases. Fills ``out_nib`` (packed 4-bit residuals) and
+    ``out_bias`` (per-slot-channel bias mod 256). Returns True on success,
+    False when any slot-channel delta span exceeds 15 (raw mode), or None
+    when the native library is unavailable (caller uses the numpy path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B, H, W, _ = cur.shape
+    assert cur.flags.c_contiguous and prev.flags.c_contiguous
+    off = top * W * 3
+    ok = lib.nibble_encode(
+        cur.ctypes.data + off, prev.ctypes.data + off, B,
+        nh * W * 3, H * W * 3,
+        out_nib.ctypes.data, out_bias.ctypes.data,
+    )
+    return bool(ok)
 
 
 def crop_u8(img: np.ndarray, y1: int, x1: int, y2: int, x2: int) -> np.ndarray:

@@ -220,4 +220,87 @@ int32_t crop_u8(const uint8_t *src, int32_t h, int32_t w, int32_t y1,
   return y2 - y1;
 }
 
+// ---------------------------------------------------------------------------
+// nibble_encode: the tri-mode delta streaming hot encoder (serving.py
+// BatchStream). Semantics match the numpy reference implementation
+// byte-for-byte:
+//   d[i] = cur[i] - prev[i]                    (per byte, int16)
+//   per (slot, channel): span = dmax - dmin; if span > 15 anywhere -> 0
+//   bias = min(max(0, dmax - 7), dmin + 8)     (clipped toward 0)
+//   v[i] = (uint8)(d[i] - bias + 8)            (mod 256, lands in [0, 15])
+//   nib[k] = v[2k] | v[2k+1] << 4
+//   out_bias[slot*3 + c] = (uint8)bias         (mod 256)
+// The numpy version costs ~480 ms/batch (7 strided full-array passes); this
+// fused two-pass loop runs at memory bandwidth (~20 ms/batch, batch 32 @
+// 640x400 active rows). Single-threaded by design: the box has ONE core and
+// ctypes releases the GIL, so the transfer pump thread still makes progress.
+// ---------------------------------------------------------------------------
+int32_t nibble_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
+                      int64_t slot_bytes, int64_t slot_stride,
+                      uint8_t *out_nib, uint8_t *out_bias) {
+  for (int32_t s = 0; s < nslots; ++s) {
+    const uint8_t *c = cur + (size_t)s * slot_stride;
+    const uint8_t *p = prev + (size_t)s * slot_stride;
+    uint8_t *nib = out_nib + (size_t)s * (slot_bytes / 2);
+    // pass 1: per-channel delta min/max via 48 lane accumulators (48 = a
+    // multiple of 3 wide enough for the autovectorizer; lane k tracks
+    // channel k % 3)
+    int16_t mn[48], mx[48];
+    for (int k = 0; k < 48; ++k) {
+      mn[k] = 32767;
+      mx[k] = -32768;
+    }
+    int64_t i = 0;
+    for (; i + 48 <= slot_bytes; i += 48) {
+      for (int k = 0; k < 48; ++k) {
+        int16_t d = (int16_t)c[i + k] - (int16_t)p[i + k];
+        if (d < mn[k]) mn[k] = d;
+        if (d > mx[k]) mx[k] = d;
+      }
+    }
+    int16_t cmn[3] = {32767, 32767, 32767};
+    int16_t cmx[3] = {-32768, -32768, -32768};
+    for (int k = 0; k < 48; ++k) {
+      int ch = k % 3;
+      if (mn[k] < cmn[ch]) cmn[ch] = mn[k];
+      if (mx[k] > cmx[ch]) cmx[ch] = mx[k];
+    }
+    for (; i < slot_bytes; ++i) {
+      int ch = (int)(i % 3);
+      int16_t d = (int16_t)c[i] - (int16_t)p[i];
+      if (d < cmn[ch]) cmn[ch] = d;
+      if (d > cmx[ch]) cmx[ch] = d;
+    }
+    uint8_t add[6];  // (8 - bias) per position, period lcm(3, 2) = 6
+    for (int ch = 0; ch < 3; ++ch) {
+      if (cmx[ch] - cmn[ch] > 15) return 0;
+      int16_t b = (int16_t)(cmx[ch] - 7);
+      if (b < 0) b = 0;
+      if (b > cmn[ch] + 8) b = (int16_t)(cmn[ch] + 8);
+      out_bias[s * 3 + ch] = (uint8_t)b;
+      add[ch] = add[ch + 3] = (uint8_t)(8 - b);
+    }
+    // pass 2: residual + pack, 6 input bytes -> 3 nibble bytes per step
+    int64_t j = 0;
+    i = 0;
+    for (; i + 6 <= slot_bytes; i += 6, j += 3) {
+      uint8_t v0 = (uint8_t)(c[i + 0] - p[i + 0] + add[0]);
+      uint8_t v1 = (uint8_t)(c[i + 1] - p[i + 1] + add[1]);
+      uint8_t v2 = (uint8_t)(c[i + 2] - p[i + 2] + add[2]);
+      uint8_t v3 = (uint8_t)(c[i + 3] - p[i + 3] + add[3]);
+      uint8_t v4 = (uint8_t)(c[i + 4] - p[i + 4] + add[4]);
+      uint8_t v5 = (uint8_t)(c[i + 5] - p[i + 5] + add[5]);
+      nib[j + 0] = (uint8_t)((v0 & 0xF) | (uint8_t)(v1 << 4));
+      nib[j + 1] = (uint8_t)((v2 & 0xF) | (uint8_t)(v3 << 4));
+      nib[j + 2] = (uint8_t)((v4 & 0xF) | (uint8_t)(v5 << 4));
+    }
+    for (; i + 2 <= slot_bytes; i += 2, ++j) {
+      uint8_t v0 = (uint8_t)(c[i] - p[i] + add[i % 3]);
+      uint8_t v1 = (uint8_t)(c[i + 1] - p[i + 1] + add[(i + 1) % 3]);
+      nib[j] = (uint8_t)((v0 & 0xF) | (uint8_t)(v1 << 4));
+    }
+  }
+  return 1;
+}
+
 }  // extern "C"

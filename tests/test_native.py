@@ -157,3 +157,64 @@ def test_crop_u8_clamps():
     np.testing.assert_array_equal(crop2, img[40:50, 50:60])
     empty = native.crop_u8(img, 10, 10, 10, 10)
     assert empty.size == 0
+
+
+def test_nibble_encode_matches_numpy_reference():
+    """native nibble_encode must match the numpy encoder semantics
+    byte-for-byte (bias choice, mod-256 wraparound, pair packing) over the
+    active-row window, and reject span > 15."""
+    from manual_yolo_tpu.runtime import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(0)
+    B, H, W, top, nh = 3, 32, 16, 5, 20
+
+    def numpy_ref(cur, prev):
+        act = cur[:, top : top + nh].astype(np.int16)
+        pact = prev[:, top : top + nh].astype(np.int16)
+        d = act - pact
+        dmax, dmin = d.max(axis=(1, 2)), d.min(axis=(1, 2))
+        if int((dmax - dmin).max()) > 15:
+            return None
+        bias = np.clip(0, dmax - 7, dmin + 8).astype(np.int16)
+        v = (d - bias[:, None, None, :] + 8).reshape(-1)
+        nib = (v[0::2].astype(np.uint8) & 0xF) | np.left_shift(
+            v[1::2], 4
+        ).astype(np.uint8)
+        return nib, (bias.reshape(-1) % 256).astype(np.uint8)
+
+    prev = rng.integers(0, 255, (B, H, W, 3), np.uint8)
+    for case in ("small", "constant", "negative", "clip", "big"):
+        if case == "small":
+            d = rng.integers(-7, 8, (B, H, W, 3), np.int16)
+        elif case == "constant":
+            d = np.broadcast_to(
+                rng.integers(-12, 13, (B, 1, 1, 3), np.int16), (B, H, W, 3)
+            )
+        elif case == "negative":
+            d = rng.integers(-15, 1, (B, 1, 1, 3), np.int16) + rng.integers(
+                0, 2, (B, H, W, 3), np.int16
+            )
+        elif case == "clip":
+            d = rng.integers(120, 128, (B, 1, 1, 3), np.int16) - rng.integers(
+                0, 8, (B, H, W, 3), np.int16
+            )
+        else:  # big: span 255 -> must reject
+            d = rng.integers(-128, 128, (B, H, W, 3), np.int16)
+        cur = (prev.astype(np.int16) + d).astype(np.uint8)  # mod-256 on purpose
+        ref = numpy_ref(cur, prev)
+        n_nib = B * nh * W * 3 // 2
+        out = np.zeros(n_nib + B * 3, np.uint8)
+        ok = native.nibble_encode(
+            cur, prev, top, nh, out[:n_nib], out[n_nib:]
+        )
+        if ref is None:
+            assert ok is False, case
+        else:
+            assert ok is True, case
+            np.testing.assert_array_equal(out[:n_nib], ref[0], err_msg=case)
+            np.testing.assert_array_equal(out[n_nib:], ref[1], err_msg=case)
