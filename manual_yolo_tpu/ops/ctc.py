@@ -29,19 +29,30 @@ def allowlist_mask(allow: Optional[str]) -> np.ndarray:
 
 
 def greedy_decode(
-    logits: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+    logits: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    score_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """logits (N, T, C) -> (ids (N, T) with collapsed repeats/blanks marked 0,
     confidence (N,) = mean prob of emitted frames).
 
     Emitted sequence: ids[t] kept where ids[t] != blank and ids[t] != ids[t-1].
     Non-emitted positions are set to 0 (= blank) so the host can join.
+
+    ``score_mask`` (default = ``mask``) chooses the distribution confidences
+    are computed under. When several allowlist masks decode the SAME logits
+    and their confidences must be comparable, score all of them under one
+    shared mask — a narrower mask renormalises softmax over fewer chars and
+    otherwise inflates its own confidence.
     """
+    dec_logits = logits
     if mask is not None:
-        logits = logits + mask[None, None, :]
-    probs = jax.nn.softmax(logits, axis=-1)
-    ids = jnp.argmax(logits, axis=-1)  # (N, T)
-    pmax = jnp.max(probs, axis=-1)  # (N, T)
+        dec_logits = logits + mask[None, None, :]
+    sm = mask if score_mask is None else score_mask
+    score_logits = logits if sm is None else logits + sm[None, None, :]
+    probs = jax.nn.softmax(score_logits, axis=-1)
+    ids = jnp.argmax(dec_logits, axis=-1)  # (N, T)
+    pmax = jnp.take_along_axis(probs, ids[..., None], axis=-1)[..., 0]  # (N, T)
     prev = jnp.concatenate([jnp.full_like(ids[:, :1], -1), ids[:, :-1]], axis=1)
     emit = (ids != BLANK) & (ids != prev)
     out_ids = jnp.where(emit, ids, 0)

@@ -39,6 +39,13 @@ NUMERIC_ALLOW = "0123456789.,kKmMbBlL$"  # L = lakh (the UI shows "4.55L")
 NAME_ALLOW = (
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_.-"
 )
+# the reference's exact name allowlist — decoded ALONGSIDE the extended one
+# (same logits, two masks) so a spurious dot/dash never costs a read the
+# extended charset would otherwise lose ("moneyball49." fails validation;
+# the strict decode recovers "moneyball49")
+STRICT_NAME_ALLOW = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+)
 CARD_ALLOW = "AKQJT2345678910SHDCshdc"
 # game ids are alnum/underscore — no dot/dash (those would corrupt the
 # digit runs of "Game ID : 232025507")
@@ -75,12 +82,23 @@ class OCREngine:
         self.params = params
         self.width = width
         self.compute_dtype = compute_dtype
+        # per kind: a (M, C) STACK of allowlist masks; every mask decodes the
+        # same recognizer logits and all M x N_VARIANTS candidates compete
         self._masks = {
-            "numeric": jnp.asarray(ctc_ops.allowlist_mask(NUMERIC_ALLOW)),
-            "name": jnp.asarray(ctc_ops.allowlist_mask(NAME_ALLOW)),
-            "card": jnp.asarray(ctc_ops.allowlist_mask(CARD_ALLOW)),
-            "game_id": jnp.asarray(ctc_ops.allowlist_mask(GAME_ID_ALLOW)),
-            "generic": jnp.asarray(ctc_ops.allowlist_mask(None)),
+            "numeric": jnp.asarray(
+                ctc_ops.allowlist_mask(NUMERIC_ALLOW)[None]
+            ),
+            "name": jnp.asarray(
+                np.stack([
+                    ctc_ops.allowlist_mask(NAME_ALLOW),
+                    ctc_ops.allowlist_mask(STRICT_NAME_ALLOW),
+                ])
+            ),
+            "card": jnp.asarray(ctc_ops.allowlist_mask(CARD_ALLOW)[None]),
+            "game_id": jnp.asarray(
+                ctc_ops.allowlist_mask(GAME_ID_ALLOW)[None]
+            ),
+            "generic": jnp.asarray(ctc_ops.allowlist_mask(None)[None]),
         }
         self._run = jax.jit(self._run_impl)
         # optional CRAFT text detector (the EasyOCR detection stage): enables
@@ -121,14 +139,24 @@ class OCREngine:
         deskewed = img_ops.clahe(img_ops.deskew(gray), clip_limit=2.0)
         return jnp.stack([enhanced, otsu, gray, deskewed])[..., None]
 
-    def _run_impl(self, params, gray_batch, mask):
-        """gray_batch (N, 32, W); returns (ids (N,3,T), conf (N,3))."""
-        var = jax.vmap(self._variants)(gray_batch)  # (N, 3, 32, W, 1)
+    def _run_impl(self, params, gray_batch, masks):
+        """gray_batch (N, 32, W), masks (M, C);
+        returns (ids (N, M*V, T), conf (N, M*V)) — one recognizer forward,
+        M allowlist decodes of the same logits."""
+        var = jax.vmap(self._variants)(gray_batch)  # (N, V, 32, W, 1)
         n, v, h, w, c = var.shape
         flat = var.reshape(n * v, h, w, c)
         logits = crnn.forward(params, flat, self.compute_dtype)
-        ids, conf = ctc_ops.greedy_decode(logits, mask)
-        return ids.reshape(n, v, -1), conf.reshape(n, v)
+        ids, conf = jax.vmap(
+            # score every mask's decode under the PRIMARY mask's softmax so
+            # confidences are comparable across masks (a narrower allowlist
+            # renormalises over fewer chars and would inflate its own score)
+            lambda m: ctc_ops.greedy_decode(logits, m, score_mask=masks[0])
+        )(masks)  # ids (M, N*V, T), conf (M, N*V)
+        m = masks.shape[0]
+        ids = ids.reshape(m, n, v, -1).transpose(1, 0, 2, 3).reshape(n, m * v, -1)
+        conf = conf.reshape(m, n, v).transpose(1, 0, 2).reshape(n, m * v)
+        return ids, conf
 
     # -- host API ----------------------------------------------------------
 
@@ -156,6 +184,37 @@ class OCREngine:
             text = ctc_ops.decode_to_text(ids[i, best])
             c = float(conf[i, best])
             out.append((text, c) if c >= min_confidence else ("", c))
+        return out
+
+    def read_batch_candidates(
+        self, crops_gray: List[np.ndarray], kind: str = "generic"
+    ) -> List[List[Tuple[str, float]]]:
+        """Like :meth:`read_batch` but returns ALL decode candidates per
+        crop (every preprocessing variant x every allowlist mask), sorted
+        confidence-descending and deduplicated by text. Callers pick the
+        first candidate that passes field validation — a high-confidence
+        read that fails the field regex no longer costs the whole field."""
+        if not crops_gray:
+            return []
+        batch = np.stack(
+            [crnn.preprocess_gray(c, self.width) for c in crops_gray]
+        )
+        ids, conf = jax.device_get(
+            self._run(self.params, jnp.asarray(batch), self._masks[kind])
+        )
+        out = []
+        for i in range(len(crops_gray)):
+            # stable: on ties the primary mask's variants come first
+            order = np.argsort(-conf[i], kind="stable")
+            cands: List[Tuple[str, float]] = []
+            seen = set()
+            for j in order:
+                text = ctc_ops.decode_to_text(ids[i, j])
+                if text in seen:
+                    continue
+                seen.add(text)
+                cands.append((text, float(conf[i, j])))
+            out.append(cands)
         return out
 
     @staticmethod
@@ -205,10 +264,25 @@ class OCREngine:
         kind = field_kind(class_name)
         gray = self._to_gray(crop_bgr)
         low = class_name.lower()
-        (text, conf), = self.read_batch([gray], kind, min_confidence=0.0)
-        if conf < self._field_threshold(low, min_confidence):
-            return None
-        return self._validate(kind, low, text)
+        cands, = self.read_batch_candidates([gray], kind)
+        return self._pick_validated(
+            kind, low, cands, self._field_threshold(low, min_confidence)
+        )
+
+    @classmethod
+    def _pick_validated(
+        cls, kind: str, low: str, cands: List[Tuple[str, float]], thr: float
+    ) -> Optional[str]:
+        """First candidate (confidence-descending) above threshold that
+        passes per-kind validation (reference behavior = best-only; the
+        fall-through only ever recovers fields the reference would drop)."""
+        for text, conf in cands:
+            if conf < thr:
+                return None
+            v = cls._validate(kind, low, text)
+            if v:
+                return v
+        return None
 
     # make the engine itself usable where a read_field callable is expected
     __call__ = read_field
@@ -294,17 +368,18 @@ class OCREngine:
             groups.setdefault(field_kind(name), []).append(i)
         for kind, idxs in groups.items():
             try:
-                results = self.read_batch(
-                    [grays[i] for i in idxs], kind, min_confidence=0.0
+                results = self.read_batch_candidates(
+                    [grays[i] for i in idxs], kind
                 )
             except Exception as e:  # degrade the group, keep the frame alive
                 print(f"OCR batch error for kind={kind}: {e}")
                 continue
-            for i, (text, conf) in zip(idxs, results):
+            for i, cands in zip(idxs, results):
                 low = class_names[i].lower()
-                if conf < self._field_threshold(low, min_confidence):
-                    continue
-                out[i] = self._validate(kind, low, text)
+                out[i] = self._pick_validated(
+                    kind, low, cands,
+                    self._field_threshold(low, min_confidence),
+                )
         # CRAFT fallback: fields the single-line read left empty whose crop
         # is tall enough to hold >1 text line get a detect-then-read retry
         # (EasyOCR's readtext is exactly this two-stage cascade)

@@ -324,9 +324,11 @@ class BatchStream:
         self._rank_ids = {i for i, n in names.items() if n in taxonomy.RANK_CLASSES}
         self.det_params = det_params
         self.cls_params = cls_params
-        # two staging buffers so batch N+1 fills while N is in flight
+        # staging pool: batch N+1 fills while N uploads on the dispatcher
+        # thread and N-1/N-2 wait in its queue (bounded at 2) — 4 buffers
+        # cover fill + upload + 2 queued
         self._staging = [
-            np.full((batch, imgsz, imgsz, 3), 114, np.uint8) for _ in range(3)
+            np.full((batch, imgsz, imgsz, 3), 114, np.uint8) for _ in range(4)
         ]
         self._staging_i = 0
         self.delta = delta
@@ -340,7 +342,7 @@ class BatchStream:
         # next submit's delta reference)
         self._nibbuf = [
             np.zeros((self._n_nib + self._n_bias,), np.uint8)
-            for _ in range(3)
+            for _ in range(4)
         ]
         self._delta16 = np.zeros((batch, imgsz, imgsz, 3), np.int16)
         self._prev_staging: Optional[np.ndarray] = None
@@ -431,15 +433,64 @@ class BatchStream:
         self._prev_geom: Optional[Tuple[int, int]] = None
         self._pending: Deque[Dict] = collections.deque()
 
-        # Finisher worker: the tunnelled PJRT client only makes transfer
-        # progress while a host thread blocks on it, so async dispatch alone
-        # gives no overlap. A daemon thread runs the ENTIRE tail of each
-        # batch (packed-result fetch -> host crop gather -> classify
-        # dispatch -> probability fetch -> result assembly) off the critical
-        # path, overlapping it with the main thread's letterbox/encode of
-        # the next batches. collect_batch() just waits for the oldest item.
+        # Two pipeline workers besides the caller's thread:
+        #
+        # Dispatcher: through this tunnelled client a device_put BLOCKS the
+        # calling thread for the whole transfer (~130 ms for a nibble batch)
+        # plus a ~60 ms fixed stall — run on the submit thread it would
+        # serialise the upload against letterbox/encode of the NEXT batch.
+        # A dedicated thread performs the device calls in submission order
+        # (it is also the only writer of _dev_prev, keeping the delta chain
+        # sequential), so upload(t) overlaps staging(t+1).
+        #
+        # Finisher: the client only makes transfer progress while a host
+        # thread blocks on it, so async dispatch alone gives no overlap. A
+        # daemon thread runs the ENTIRE tail of each batch (packed-result
+        # fetch -> host crop gather -> classify dispatch -> probability
+        # fetch -> result assembly) off the critical path.
+        # collect_batch() just waits for the oldest item.
         import queue as queue_mod
         import threading
+
+        # maxsize bounds undispatched batches: staging/payload buffers
+        # rotate 3-deep, so at most 2 may sit behind the one being uploaded
+        self._dispatch_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+
+        def _dispatcher():
+            import jax.numpy as _jnp
+
+            while True:
+                item = self._dispatch_q.get()
+                if item is None:
+                    return
+                try:
+                    mode = item.pop("mode")
+                    if mode == "skip":
+                        fut, dev = self._detect_skip(
+                            self.det_params, self._dev_prev
+                        )
+                    elif mode == "nibble":
+                        fut, dev = item.pop("nibble_fn")(
+                            self.det_params,
+                            _jnp.asarray(item.pop("payload")),
+                            self._dev_prev,
+                        )
+                    elif mode == "raw_active":
+                        fut, dev = item.pop("raw_fn")(
+                            self.det_params, _jnp.asarray(item.pop("act"))
+                        )
+                    else:
+                        fut, dev = self._detect_raw(
+                            self.det_params, _jnp.asarray(item.pop("flat"))
+                        )
+                    if self.delta:
+                        self._dev_prev = dev
+                    item["fut"] = fut
+                except BaseException as e:  # surfaces in collect_batch
+                    item["err"] = e
+                    item["evt"].set()
+                    continue
+                self._work_q.put(item)
 
         self._work_q: "queue_mod.Queue" = queue_mod.Queue()
 
@@ -472,6 +523,8 @@ class BatchStream:
 
         self._worker_thread = threading.Thread(target=_worker, daemon=True)
         self._worker_thread.start()
+        self._dispatch_thread = threading.Thread(target=_dispatcher, daemon=True)
+        self._dispatch_thread.start()
 
     def _get_active_progs(self, top: int, nh: int):
         """Lazily build jitted detect programs that take ONLY the content
@@ -642,38 +695,10 @@ class BatchStream:
                     payload = self._encode_nibble(staging)
                 if payload is not None:
                     mode = "nibble"
-        if mode == "skip":
-            fut, dev_canvas = self._detect_skip(self.det_params, self._dev_prev)
-        elif mode == "nibble":
-            if geom is not None and self._prev_geom == geom:
-                _, nibble_fn = self._get_active_progs(*geom)
-                fut, dev_canvas = nibble_fn(
-                    self.det_params, jnp.asarray(payload), self._dev_prev
-                )
-            else:
-                fut, dev_canvas = self._detect_nibble(
-                    self.det_params, jnp.asarray(payload), self._dev_prev
-                )
-        elif geom is not None:
-            raw_fn, _ = self._get_active_progs(*geom)
-            top, nh = geom
-            act = np.ascontiguousarray(staging[:, top : top + nh])
-            fut, dev_canvas = raw_fn(self.det_params, jnp.asarray(act.reshape(-1)))
-        else:
-            fut, dev_canvas = self._detect_raw(
-                self.det_params, jnp.asarray(staging.reshape(-1))
-            )
-        self.mode_counts[mode] += 1
-        if self.delta:
-            self._dev_prev = dev_canvas
-            self._prev_staging = staging
-            self._prev_metas = list(metas)
-        if mode != "skip":
-            self._prev_geom = geom
         import threading
 
         item = {
-            "frames": frames, "metas": metas, "fut": fut,
+            "frames": frames, "metas": metas, "fut": None, "mode": mode,
             # skip-mode with every slot byte-identical -> detect ran on the
             # SAME resident canvas and the crops come from identical frames,
             # so the whole tail's outputs are provably identical to the
@@ -682,8 +707,30 @@ class BatchStream:
             "memo": mode == "skip" and all_unchanged,
             "evt": threading.Event(), "out": None, "err": None,
         }
+        if mode == "nibble":
+            if geom is not None and self._prev_geom == geom:
+                _, item["nibble_fn"] = self._get_active_progs(*geom)
+            else:
+                item["nibble_fn"] = self._detect_nibble
+            item["payload"] = payload
+        elif mode == "raw":
+            if geom is not None:
+                item["raw_fn"], _ = self._get_active_progs(*geom)
+                item["mode"] = "raw_active"
+                top, nh = geom
+                item["act"] = np.ascontiguousarray(
+                    staging[:, top : top + nh]
+                ).reshape(-1)
+            else:
+                item["flat"] = staging.reshape(-1).copy()
+        self.mode_counts[mode] += 1
+        if self.delta:
+            self._prev_staging = staging
+            self._prev_metas = list(metas)
+        if mode != "skip":
+            self._prev_geom = geom
         self._pending.append(item)
-        self._work_q.put(item)
+        self._dispatch_q.put(item)  # blocks if 2 batches are undispatched
 
     def collect_batch(self) -> List[List[Dict]]:
         """Return the oldest in-flight batch's results (finished by the

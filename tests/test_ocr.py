@@ -134,13 +134,13 @@ def test_read_fields_one_device_call_per_kind():
     params = crnn.init_params(jax.random.PRNGKey(0), hidden=32)
     eng = OCREngine(params, width=96)
     calls = []
-    orig = eng.read_batch
+    orig = eng.read_batch_candidates
 
-    def counting_read_batch(crops, kind, min_confidence=0.35):
+    def counting_read_batch(crops, kind):
         calls.append((kind, len(crops)))
-        return orig(crops, kind, min_confidence=min_confidence)
+        return orig(crops, kind)
 
-    eng.read_batch = counting_read_batch
+    eng.read_batch_candidates = counting_read_batch
     rng = np.random.default_rng(0)
     crops = [rng.integers(0, 255, (20, 50, 3), np.uint8) for _ in range(5)]
     names = ["my_stack", "villian1_name", "total_pot", "villian2_name", "my_bet"]
