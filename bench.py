@@ -189,7 +189,10 @@ def run_measurement():
     stream = build_stream()
     frames = make_frames()
 
-    fps = measure_stream(stream, frames)
+    # the tunnel's effective rate varies run to run (docs/BENCH_NOTES.md:
+    # 16-70 MB/s episodes); median of 3 passes keeps one bad episode from
+    # defining the headline
+    fps = float(np.median([measure_stream(stream, frames) for _ in range(3)]))
     static_fps = measure_static_stream(stream, frames)
     compute_fps = measure_compute_only(stream)
     link = probe_link(frames)
