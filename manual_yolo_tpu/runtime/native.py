@@ -86,6 +86,11 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.tribit_encode.restype = ctypes.c_int32
+        lib.tribit_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
         return lib
 
@@ -227,6 +232,33 @@ def nibble_encode(
         cur.ctypes.data + off, prev.ctypes.data + off, B,
         nh * W * 3, H * W * 3,
         out_nib.ctypes.data, out_bias.ctypes.data,
+    )
+    return bool(ok)
+
+
+def tribit_encode(
+    cur: np.ndarray,
+    prev: np.ndarray,
+    top: int,
+    nh: int,
+    out_bits: np.ndarray,
+    out_bias: np.ndarray,
+) -> Optional[bool]:
+    """Native 3-bit-residual delta encoder with per-row biases over rows
+    [top, top+nh) of (B, H, W, 3) uint8 canvases. Returns True on success,
+    False when any (slot, row, channel) delta span exceeds 7 (caller tries
+    the nibble mode), or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B, H, W, _ = cur.shape
+    if (W * 3) % 8 != 0:
+        return None
+    assert cur.flags.c_contiguous and prev.flags.c_contiguous
+    off = top * W * 3
+    ok = lib.tribit_encode(
+        cur.ctypes.data + off, prev.ctypes.data + off, B, nh, W,
+        H * W * 3, out_bits.ctypes.data, out_bias.ctypes.data,
     )
     return bool(ok)
 

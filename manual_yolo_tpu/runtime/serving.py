@@ -265,6 +265,10 @@ class BatchStream:
         the device unpacks and wraparound-adds — bit-exact. Covers global
         photometric shifts (one value per channel +- clipping), dithering,
         capture noise.
+      * **tribit** — tighter variant of nibble used when every (slot, row,
+        channel) delta span is <= 7: per-ROW biases + 3-bit residuals
+        (8 values per 3 bytes) = 3/8 the raw bytes. Native-encoded;
+        active-geometry batches only.
       * **raw**   — a wider delta span anywhere (e.g. a repaint: new card
         pixels differ by hundreds): upload the full canvas batch.
 
@@ -351,7 +355,7 @@ class BatchStream:
         self._slot_geom: Dict = {}
         self.memo_hits = 0
         self._dev_prev = jnp.zeros((n_px,), jnp.uint8)
-        self.mode_counts = {"raw": 0, "nibble": 0, "skip": 0}
+        self.mode_counts = {"raw": 0, "nibble": 0, "tribit": 0, "skip": 0}
 
         def detect_core(params, canvases_flat_u8):
             canvases_u8_bgr = canvases_flat_u8.reshape(batch, imgsz, imgsz, 3)
@@ -475,6 +479,12 @@ class BatchStream:
                             _jnp.asarray(item.pop("payload")),
                             self._dev_prev,
                         )
+                    elif mode == "tribit":
+                        fut, dev = item.pop("tribit_fn")(
+                            self.det_params,
+                            _jnp.asarray(item.pop("payload")),
+                            self._dev_prev,
+                        )
                     elif mode == "raw_active":
                         fut, dev = item.pop("raw_fn")(
                             self.det_params, _jnp.asarray(item.pop("act"))
@@ -560,7 +570,45 @@ class BatchStream:
                 ).reshape(-1)
                 return detect_core(params, canvases)
 
-            self._active_progs[key] = (jax.jit(raw_active), jax.jit(nibble_active))
+            def tribit_active(params, payload_u8, prev_flat_u8):
+                # 8 3-bit values per 3 bytes (little-endian across bytes,
+                # mirror of native tribit_encode), per-ROW biases
+                nb = n_act * 3 // 8
+                bits = payload_u8[:nb].reshape(-1, 3)
+                b0, b1, b2 = bits[:, 0], bits[:, 1], bits[:, 2]
+                u = jnp.uint8
+                v = jnp.stack(
+                    [
+                        jnp.bitwise_and(b0, u(7)),
+                        jnp.bitwise_and(jnp.right_shift(b0, u(3)), u(7)),
+                        jnp.bitwise_or(
+                            jnp.right_shift(b0, u(6)),
+                            jnp.left_shift(jnp.bitwise_and(b1, u(1)), u(2)),
+                        ),
+                        jnp.bitwise_and(jnp.right_shift(b1, u(1)), u(7)),
+                        jnp.bitwise_and(jnp.right_shift(b1, u(4)), u(7)),
+                        jnp.bitwise_or(
+                            jnp.right_shift(b1, u(7)),
+                            jnp.left_shift(jnp.bitwise_and(b2, u(3)), u(1)),
+                        ),
+                        jnp.bitwise_and(jnp.right_shift(b2, u(2)), u(7)),
+                        jnp.right_shift(b2, u(5)),
+                    ],
+                    axis=-1,
+                ).reshape(B, nh, imgsz, 3)
+                bias = payload_u8[nb:].reshape(B, nh, 1, 3)
+                resid = (v - u(4)) + bias  # uint8 wraparound
+                resid_full = jnp.pad(resid, ((0, 0), (top, bot), (0, 0), (0, 0)))
+                canvases = (
+                    prev_flat_u8.reshape(B, imgsz, imgsz, 3) + resid_full
+                ).reshape(-1)
+                return detect_core(params, canvases)
+
+            self._active_progs[key] = {
+                "raw": jax.jit(raw_active),
+                "nibble": jax.jit(nibble_active),
+                "tribit": jax.jit(tribit_active),
+            }
         return self._active_progs[key]
 
     def _batch_geom(self, metas) -> Optional[Tuple[int, int]]:
@@ -573,6 +621,25 @@ class BatchStream:
             if m is None or m[2] != g0 or m[1][1] != 0:
                 return None
         return (metas[0][1][0], g0[0])  # (top, nh)
+
+    def _encode_tribit(
+        self, staging: np.ndarray, top: int, nh: int
+    ) -> Optional[np.ndarray]:
+        """3-bit residuals + per-row biases over the active rows (native
+        encoder only; 3/8 the raw bytes). None -> try nibble/raw."""
+        n_val = self.B * nh * self.imgsz * 3
+        nb = n_val * 3 // 8
+        n_bias = self.B * nh * 3
+        payload = self._nibbuf[self._staging_i]
+        if nb + n_bias > payload.size:
+            return None
+        ok = native.tribit_encode(
+            staging, self._prev_staging, top, nh,
+            payload[:nb], payload[nb : nb + n_bias],
+        )
+        if not ok:  # False (span > 7) or None (no native lib)
+            return None
+        return payload[: nb + n_bias]
 
     def _encode_nibble(
         self, staging: np.ndarray, top: int = 0, nh: Optional[int] = None
@@ -686,15 +753,23 @@ class BatchStream:
             if all_unchanged or np.array_equal(staging, self._prev_staging):
                 mode = "skip"
             else:
-                # active nibble decode touches only the content rows, so the
+                # active decodes touch only the content rows, so the
                 # resident canvas's padding must already be 114 there — true
                 # iff the previous batch shared this geometry
                 if geom is not None and self._prev_geom == geom:
-                    payload = self._encode_nibble(staging, geom[0], geom[1])
+                    # tightest first: 3-bit per-row-bias (3/8 bytes), then
+                    # 4-bit per-slot-bias (1/2 bytes)
+                    payload = self._encode_tribit(staging, *geom)
+                    if payload is not None:
+                        mode = "tribit"
+                    else:
+                        payload = self._encode_nibble(staging, *geom)
+                        if payload is not None:
+                            mode = "nibble"
                 else:
                     payload = self._encode_nibble(staging)
-                if payload is not None:
-                    mode = "nibble"
+                    if payload is not None:
+                        mode = "nibble"
         import threading
 
         item = {
@@ -709,13 +784,16 @@ class BatchStream:
         }
         if mode == "nibble":
             if geom is not None and self._prev_geom == geom:
-                _, item["nibble_fn"] = self._get_active_progs(*geom)
+                item["nibble_fn"] = self._get_active_progs(*geom)["nibble"]
             else:
                 item["nibble_fn"] = self._detect_nibble
             item["payload"] = payload
+        elif mode == "tribit":
+            item["tribit_fn"] = self._get_active_progs(*geom)["tribit"]
+            item["payload"] = payload
         elif mode == "raw":
             if geom is not None:
-                item["raw_fn"], _ = self._get_active_progs(*geom)
+                item["raw_fn"] = self._get_active_progs(*geom)["raw"]
                 item["mode"] = "raw_active"
                 top, nh = geom
                 item["act"] = np.ascontiguousarray(

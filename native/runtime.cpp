@@ -303,4 +303,81 @@ int32_t nibble_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
   return 1;
 }
 
+// ---------------------------------------------------------------------------
+// tribit_encode: 3-bit residuals with PER-ROW biases — the tighter delta
+// mode (3/8 the raw bytes vs the nibble mode's 1/2). Fits when every
+// (slot, row, channel)'s delta span (max - min) <= 7; a per-row-channel
+// bias in [dmax-3, dmin+4] (clipped toward 0) then puts every residual in
+// [-4, 3], stored as v = d - bias + 4 in [0, 7]. Groups of 8 values pack
+// little-endian into 3 bytes:
+//   b0 = v0 | v1<<3 | (v2&3)<<6
+//   b1 = v2>>2 | v3<<1 | v4<<4 | (v5&1)<<7
+//   b2 = v5>>1 | v6<<2 | v7<<5
+// out_bias holds nslots*nh*3 bytes (bias mod 256, row-major). Requires
+// row_bytes = W*3 divisible by 8 (W % 8 == 0; canvas widths are /32).
+// Returns 1, or 0 when any row's span exceeds 7 (caller tries nibble/raw).
+// All arithmetic mod 256 -> bit-exact reconstruction.
+// ---------------------------------------------------------------------------
+int32_t tribit_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
+                      int32_t nh, int32_t width, int64_t slot_stride,
+                      uint8_t *out_bits, uint8_t *out_bias) {
+  const int64_t row_bytes = (int64_t)width * 3;
+  if (row_bytes % 8 != 0) return 0;
+  const int64_t row_out = row_bytes * 3 / 8;
+  for (int32_t s = 0; s < nslots; ++s) {
+    for (int32_t r = 0; r < nh; ++r) {
+      const uint8_t *c = cur + (size_t)s * slot_stride + (size_t)r * row_bytes;
+      const uint8_t *p = prev + (size_t)s * slot_stride + (size_t)r * row_bytes;
+      // row min/max per channel (24-lane accumulators)
+      int16_t mn[24], mx[24];
+      for (int k = 0; k < 24; ++k) {
+        mn[k] = 32767;
+        mx[k] = -32768;
+      }
+      int64_t i = 0;
+      for (; i + 24 <= row_bytes; i += 24) {
+        for (int k = 0; k < 24; ++k) {
+          int16_t d = (int16_t)c[i + k] - (int16_t)p[i + k];
+          if (d < mn[k]) mn[k] = d;
+          if (d > mx[k]) mx[k] = d;
+        }
+      }
+      int16_t cmn[3] = {32767, 32767, 32767};
+      int16_t cmx[3] = {-32768, -32768, -32768};
+      for (int k = 0; k < 24; ++k) {
+        int ch = k % 3;
+        if (mn[k] < cmn[ch]) cmn[ch] = mn[k];
+        if (mx[k] > cmx[ch]) cmx[ch] = mx[k];
+      }
+      for (; i < row_bytes; ++i) {
+        int ch = (int)(i % 3);
+        int16_t d = (int16_t)c[i] - (int16_t)p[i];
+        if (d < cmn[ch]) cmn[ch] = d;
+        if (d > cmx[ch]) cmx[ch] = d;
+      }
+      uint8_t add[6];
+      uint8_t *bias_row = out_bias + ((size_t)s * nh + r) * 3;
+      for (int ch = 0; ch < 3; ++ch) {
+        if (cmx[ch] - cmn[ch] > 7) return 0;
+        int16_t b = (int16_t)(cmx[ch] - 3);
+        if (b < 0) b = 0;
+        if (b > cmn[ch] + 4) b = (int16_t)(cmn[ch] + 4);
+        bias_row[ch] = (uint8_t)b;
+        add[ch] = add[ch + 3] = (uint8_t)(4 - b);
+      }
+      uint8_t *o = out_bits + ((size_t)s * nh + r) * row_out;
+      for (i = 0; i + 8 <= row_bytes; i += 8, o += 3) {
+        uint8_t v[8];
+        for (int k = 0; k < 8; ++k)
+          v[k] = (uint8_t)((uint8_t)(c[i + k] - p[i + k] + add[(i + k) % 3]) & 7);
+        o[0] = (uint8_t)(v[0] | (uint8_t)(v[1] << 3) | (uint8_t)((v[2] & 3) << 6));
+        o[1] = (uint8_t)((v[2] >> 2) | (uint8_t)(v[3] << 1) |
+                         (uint8_t)(v[4] << 4) | (uint8_t)((v[5] & 1) << 7));
+        o[2] = (uint8_t)((v[5] >> 1) | (uint8_t)(v[6] << 2) | (uint8_t)(v[7] << 5));
+      }
+    }
+  }
+  return 1;
+}
+
 }  // extern "C"

@@ -218,3 +218,60 @@ def test_nibble_encode_matches_numpy_reference():
             assert ok is True, case
             np.testing.assert_array_equal(out[:n_nib], ref[0], err_msg=case)
             np.testing.assert_array_equal(out[n_nib:], ref[1], err_msg=case)
+
+
+def test_tribit_encode_matches_numpy_reference():
+    """native tribit_encode: per-row bias choice, 3-bit little-endian
+    packing, span-7 rejection — checked against a numpy reimplementation."""
+    from manual_yolo_tpu.runtime import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(1)
+    B, H, W, top, nh = 2, 24, 16, 3, 18  # W*3 = 48, divisible by 8
+
+    def numpy_ref(cur, prev):
+        act = cur[:, top : top + nh].astype(np.int16)
+        d = act - prev[:, top : top + nh].astype(np.int16)  # (B, nh, W, 3)
+        dmax = d.max(axis=2)  # (B, nh, 3) per row
+        dmin = d.min(axis=2)
+        if int((dmax - dmin).max()) > 7:
+            return None
+        bias = np.clip(0, dmax - 3, dmin + 4).astype(np.int16)
+        v = ((d - bias[:, :, None, :] + 4) % 256).astype(np.uint8).reshape(-1, 8)
+        b0 = v[:, 0] | (v[:, 1] << 3) | ((v[:, 2] & 3) << 6)
+        b1 = (v[:, 2] >> 2) | (v[:, 3] << 1) | (v[:, 4] << 4) | ((v[:, 5] & 1) << 7)
+        b2 = (v[:, 5] >> 1) | (v[:, 6] << 2) | (v[:, 7] << 5)
+        bits = np.stack([b0, b1, b2], axis=-1).reshape(-1).astype(np.uint8)
+        return bits, (bias.reshape(-1) % 256).astype(np.uint8)
+
+    prev = rng.integers(0, 255, (B, H, W, 3), np.uint8)
+    for case in ("tiny", "rowconst", "negative", "reject"):
+        if case == "tiny":
+            d = rng.integers(-3, 4, (B, H, W, 3), np.int16)
+        elif case == "rowconst":  # constant per row, varying magnitude
+            d = np.broadcast_to(
+                rng.integers(-30, 31, (B, H, 1, 3), np.int16), (B, H, W, 3)
+            )
+        elif case == "negative":
+            d = rng.integers(-7, 1, (B, H, 1, 3), np.int16) + rng.integers(
+                0, 2, (B, H, W, 3), np.int16
+            )
+        else:  # span 20 in one row -> reject
+            d = rng.integers(-3, 4, (B, H, W, 3), np.int16)
+            d[1, top + 4, 3, 1] = 20
+        cur = (prev.astype(np.int16) + d).astype(np.uint8)
+        ref = numpy_ref(cur, prev)
+        nb = B * nh * W * 3 * 3 // 8
+        n_bias = B * nh * 3
+        out = np.zeros(nb + n_bias, np.uint8)
+        ok = native.tribit_encode(cur, prev, top, nh, out[:nb], out[nb:])
+        if ref is None:
+            assert ok is False, case
+        else:
+            assert ok is True, case
+            np.testing.assert_array_equal(out[:nb], ref[0], err_msg=case)
+            np.testing.assert_array_equal(out[nb:], ref[1], err_msg=case)

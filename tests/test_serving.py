@@ -161,11 +161,13 @@ def test_batch_stream_delta_matches_raw():
         r2 = s_delta.collect_batch()
         assert r1 == r2
         assert any(len(d) for d in r1)  # stream actually detected something
-    # the stream above must have exercised every encoder mode
+    # the stream above must have exercised the delta encoder end to end:
+    # small constant jitter lands in tribit (native) or nibble (numpy
+    # fallback), the repeat in skip, the repaint (and first batch) in raw
     assert s_delta.mode_counts["raw"] >= 2  # first batch + repaint
-    assert s_delta.mode_counts["nibble"] >= 2
+    assert s_delta.mode_counts["tribit"] + s_delta.mode_counts["nibble"] >= 2
     assert s_delta.mode_counts["skip"] == 1
-    assert s_raw.mode_counts == {"raw": 5, "nibble": 0, "skip": 0}
+    assert s_raw.mode_counts == {"raw": 5, "nibble": 0, "tribit": 0, "skip": 0}
 
 
 def test_batch_stream_letterbox_geometry_change_clears_padding():
@@ -268,8 +270,15 @@ def test_batch_stream_active_rows_upload_lossless():
     rng = np.random.default_rng(3)
     wide = rng.integers(0, 255, (240, 400, 3), np.uint8)    # geometry A
     wide2 = np.clip(wide.astype(np.int16) + 3, 0, 255).astype(np.uint8)
+    # per-pixel +-5 noise: slot-channel span <= 10 fits the nibble mode but
+    # busts the tribit mode's per-row span-7 limit
+    wide3 = np.clip(
+        wide.astype(np.int16) + rng.integers(-5, 6, wide.shape, np.int16),
+        0, 255,
+    ).astype(np.uint8)
     tall = rng.integers(0, 255, (400, 240, 3), np.uint8)    # geometry B (nw<imgsz)
     batches = [[wide, wide.copy()], [wide2, wide2.copy()],
+               [wide3, wide3.copy()],
                [tall, tall.copy()], [wide, wide.copy()],
                [wide2, wide2.copy()]]
 
@@ -283,7 +292,11 @@ def test_batch_stream_active_rows_upload_lossless():
         "manual_yolo_tpu.ops.letterbox", fromlist=["letterbox_params"]
     ).letterbox_params((240, 400), (192, 192))
     assert (top, nh) in s_delta._active_progs
-    # batch 2 (A->A jitter) ran active-nibble; batch 5 (A->A after B) too,
-    # but batch 4 (B->A) must NOT have used nibble-active (prev_geom gate)
+    # A->A constant jitter -> tribit; A->A noisy -> nibble; B->A geometry
+    # switch must NOT use a delta mode (prev_geom gate)
+    from manual_yolo_tpu.runtime import native as native_mod
+
+    if native_mod.get_lib() is not None:
+        assert s_delta.mode_counts["tribit"] >= 1
     assert s_delta.mode_counts["nibble"] >= 1
     assert s_delta.mode_counts["raw"] >= 3  # first, tall, and B->A switch
