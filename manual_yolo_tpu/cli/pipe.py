@@ -36,7 +36,7 @@ def main(argv=None) -> int:
     ap.add_argument("--output-dir", default=cfg.pipe.output_folder)
     ap.add_argument("--detector", default=cfg.detector.weights)
     ap.add_argument("--ocr-weights",
-                    default=cfg.ocr.recognizer_weights or "weights/crnn_real.npz")
+                    default=cfg.ocr.recognizer_weights or "weights/crnn_real_a.npz,weights/crnn_real_b.npz")
     ap.add_argument("--text-detector",
                     default=cfg.ocr.detector_weights or "weights/craft_synth.npz",
                     help="CRAFT weights for multi-line read_region fallback")

@@ -16,7 +16,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Framework smoke check")
     ap.add_argument("--detector", default="weights/poker_detector.npz")
     ap.add_argument("--classifier", default="weights/rank_classifier_matched.npz")
-    ap.add_argument("--ocr-weights", default="weights/crnn_real.npz")
+    ap.add_argument("--ocr-weights", default="weights/crnn_real_a.npz,weights/crnn_real_b.npz")
     args = ap.parse_args(argv)
 
     failures = 0

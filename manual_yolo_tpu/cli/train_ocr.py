@@ -21,6 +21,9 @@ def main(argv=None) -> int:
                     help="comma-separated real sources for TRAINING "
                          "(test/test2 stay eval-only)")
     ap.add_argument("--real-frac", type=float, default=0.35)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="init/augmentation seed (the real-crop holdout "
+                         "split is seed-independent)")
     args = ap.parse_args(argv)
 
     from manual_yolo_tpu.train.ocr import OCRTrainConfig, train_ocr
@@ -30,6 +33,7 @@ def main(argv=None) -> int:
         width=args.width, hidden=args.hidden, lr=args.lr,
         pool_size=args.pool_size, real_labels=args.real_labels,
         real_splits=tuple(args.real_splits.split(",")), real_frac=args.real_frac,
+        seed=args.seed,
     )
     res = train_ocr(cfg)
     print(json.dumps(res, indent=2))

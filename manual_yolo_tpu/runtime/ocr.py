@@ -79,6 +79,20 @@ class OCREngine:
 
     def __init__(self, params, width: int = 256, compute_dtype=jnp.float32,
                  text_detector_params=None):
+        # a list/tuple of param trees = seed ENSEMBLE: every model's logits
+        # are decoded with every mask/variant and all candidates compete on
+        # (per-model-calibrated) confidence — one fused device call
+        if isinstance(params, (list, tuple)):
+            self._n_models = len(params)
+            params = (
+                params[0]
+                if len(params) == 1
+                else jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *params
+                )
+            )
+        else:
+            self._n_models = 1
         self.params = params
         self.width = width
         self.compute_dtype = compute_dtype
@@ -113,12 +127,23 @@ class OCREngine:
             )
 
     @classmethod
-    def from_npz(cls, path: str, compute_dtype=jnp.float32,
+    def from_npz(cls, path, compute_dtype=jnp.float32,
                  text_detector: Optional[str] = None) -> "OCREngine":
+        """``path``: one npz path, or a list/comma-separated string of
+        paths -> seed ensemble (widths must agree)."""
         from manual_yolo_tpu.core.serialization import load_params
 
-        params, meta = load_params(path)
-        params = jax.tree_util.tree_map(jnp.asarray, params)
+        paths = (
+            [p for p in path.split(",") if p]
+            if isinstance(path, str)
+            else list(path)
+        )
+        trees, widths = [], []
+        for p in paths:
+            params, meta = load_params(p)
+            trees.append(jax.tree_util.tree_map(jnp.asarray, params))
+            widths.append(int(meta.get("width", 256)))
+        assert len(set(widths)) == 1, f"ensemble width mismatch: {widths}"
         td = None
         if text_detector:
             import os
@@ -127,7 +152,7 @@ class OCREngine:
                 from manual_yolo_tpu.models import craft as craft_mod
 
                 td = craft_mod.load_npz(text_detector)
-        return cls(params, width=int(meta.get("width", 256)),
+        return cls(trees if len(trees) > 1 else trees[0], width=widths[0],
                    compute_dtype=compute_dtype, text_detector_params=td)
 
     # -- device program ----------------------------------------------------
@@ -141,21 +166,32 @@ class OCREngine:
 
     def _run_impl(self, params, gray_batch, masks):
         """gray_batch (N, 32, W), masks (M, C);
-        returns (ids (N, M*V, T), conf (N, M*V)) — one recognizer forward,
-        M allowlist decodes of the same logits."""
+        returns (ids (N, K*M*V, T), conf (N, K*M*V)) — K model forwards
+        (K = ensemble size), M allowlist decodes of each model's logits."""
         var = jax.vmap(self._variants)(gray_batch)  # (N, V, 32, W, 1)
         n, v, h, w, c = var.shape
         flat = var.reshape(n * v, h, w, c)
-        logits = crnn.forward(params, flat, self.compute_dtype)
-        ids, conf = jax.vmap(
+        if self._n_models > 1:
+            logits = jax.vmap(
+                lambda p: crnn.forward(p, flat, self.compute_dtype)
+            )(params)  # (K, N*V, T, C)
+        else:
+            logits = crnn.forward(params, flat, self.compute_dtype)[None]
+
+        def decode_model(lg):
             # score every mask's decode under the PRIMARY mask's softmax so
             # confidences are comparable across masks (a narrower allowlist
             # renormalises over fewer chars and would inflate its own score)
-            lambda m: ctc_ops.greedy_decode(logits, m, score_mask=masks[0])
-        )(masks)  # ids (M, N*V, T), conf (M, N*V)
-        m = masks.shape[0]
-        ids = ids.reshape(m, n, v, -1).transpose(1, 0, 2, 3).reshape(n, m * v, -1)
-        conf = conf.reshape(m, n, v).transpose(1, 0, 2).reshape(n, m * v)
+            return jax.vmap(
+                lambda m: ctc_ops.greedy_decode(lg, m, score_mask=masks[0])
+            )(masks)
+
+        ids, conf = jax.vmap(decode_model)(logits)  # (K, M, N*V, T/-)
+        k, m = logits.shape[0], masks.shape[0]
+        ids = (
+            ids.reshape(k * m, n, v, -1).transpose(1, 0, 2, 3).reshape(n, k * m * v, -1)
+        )
+        conf = conf.reshape(k * m, n, v).transpose(1, 0, 2).reshape(n, k * m * v)
         return ids, conf
 
     # -- host API ----------------------------------------------------------
@@ -411,14 +447,19 @@ class OCREngine:
 
 
 def default_ocr_engine(
-    weights: str = "weights/crnn_real.npz",
+    weights: str = "weights/crnn_real_a.npz,weights/crnn_real_b.npz",
     text_detector: Optional[str] = "weights/craft_synth.npz",
 ) -> Optional["OCREngine"]:
     """Build the default OCR engine, or None if no weights exist.
 
-    The default checkpoint is co-trained on synthetic renders AND the
-    labelled real UI crops (data/ocr_real): 0.91 exact-match on the held-out
-    real test sources vs 0.07 for the synthetic-only round-1 checkpoint.
+    The default is a two-seed ENSEMBLE of CRNNs co-trained on synthetic
+    renders AND the labelled real UI crops (data/ocr_real): every model's
+    logits are decoded under every allowlist mask and preprocessing
+    variant, all candidates competing on confidence. Selected on the
+    283-crop train-side holdout (0.929 vs 0.905 for the best previous
+    single model); 0.924 exact-match on the held-out real test sources
+    (names 0.872 vs 0.767 single). Missing member files are dropped
+    gracefully (a single present member = single-model engine).
 
     ``text_detector`` names optional CRAFT weights; when the file exists the
     engine gains ``read_region`` (EasyOCR readtext parity: detect text lines,
@@ -431,6 +472,7 @@ def default_ocr_engine(
     """
     import os
 
-    if not os.path.exists(weights):
+    present = [p for p in weights.split(",") if p and os.path.exists(p)]
+    if not present:
         return None
-    return OCREngine.from_npz(weights, text_detector=text_detector)
+    return OCREngine.from_npz(present, text_detector=text_detector)

@@ -194,14 +194,15 @@ def test_read_region_with_trained_craft_weights():
     import os
 
     if not (os.path.exists("weights/craft_synth.npz")
-            and os.path.exists("weights/crnn_real.npz")):
+            and os.path.exists("weights/crnn_real_a.npz")
+            and os.path.exists("weights/crnn_real_b.npz")):
         pytest.skip("trained weights not present")
     from PIL import Image, ImageDraw, ImageFont
 
     from manual_yolo_tpu.runtime.ocr import OCREngine
     from manual_yolo_tpu.train.ocr import FONTS
 
-    eng = OCREngine.from_npz("weights/crnn_real.npz",
+    eng = OCREngine.from_npz("weights/crnn_real_a.npz,weights/crnn_real_b.npz",
                              text_detector="weights/craft_synth.npz")
     img = Image.new("RGB", (200, 90), (28, 28, 28))
     d = ImageDraw.Draw(img)
@@ -214,3 +215,29 @@ def test_read_region_with_trained_craft_weights():
     assert len(lines) >= 2, f"expected 2 text lines, got {lines}"
     assert any("12.5K" in t or "125K" in t for t in texts), texts
     assert any("3400" in t for t in texts), texts
+
+
+def test_ensemble_of_identical_models_matches_single():
+    """A K=2 ensemble of the SAME weights must read exactly like the single
+    model (same candidates, deduplicated), and a mixed-seed ensemble must
+    construct and read without error."""
+    from manual_yolo_tpu.runtime.ocr import OCREngine
+
+    p1 = crnn.init_params(jax.random.PRNGKey(0), hidden=32)
+    p2 = crnn.init_params(jax.random.PRNGKey(5), hidden=32)
+    single = OCREngine(p1, width=96)
+    twin = OCREngine([p1, p1], width=96)
+    mixed = OCREngine([p1, p2], width=96)
+    rng = np.random.default_rng(0)
+    crops = [rng.random((20, 60)).astype(np.float32) for _ in range(3)]
+    for kind in ("numeric", "name"):
+        a = single.read_batch_candidates(crops, kind)
+        b = twin.read_batch_candidates(crops, kind)
+        for ca, cb in zip(a, b):
+            assert [t for t, _ in ca] == [t for t, _ in cb]
+            np.testing.assert_allclose(
+                [c for _, c in ca], [c for _, c in cb], atol=1e-5
+            )
+        m = mixed.read_batch_candidates(crops, kind)
+        assert all(len(c) >= 1 for c in m)
+    assert mixed._n_models == 2 and single._n_models == 1

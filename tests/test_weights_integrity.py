@@ -77,16 +77,18 @@ def test_ocr_checkpoint():
     assert s1 == s2
 
 
-def test_ocr_real_checkpoint():
-    """The default recognizer: co-trained on synthetic renders + labelled
-    real UI crops. Metric floors recorded at train time (train/ocr.py)."""
+def test_ocr_real_checkpoints():
+    """The default recognizer ENSEMBLE members: co-trained on synthetic
+    renders + labelled real UI crops. Metric floors recorded at train time
+    (train/ocr.py)."""
     from manual_yolo_tpu.models import crnn
 
-    params, meta = _load("crnn_real.npz")
-    assert int(meta["width"]) in (192, 256)
-    assert float(meta["real_holdout"]) >= 0.90
-    assert float(meta["exact_match"]) >= 0.75
-    rand = crnn.init_params(jax.random.PRNGKey(0), int(meta.get("hidden", 256)))
-    s1 = [x.shape for x in jax.tree_util.tree_leaves(params)]
-    s2 = [x.shape for x in jax.tree_util.tree_leaves(rand)]
-    assert s1 == s2
+    for name in ("crnn_real_a.npz", "crnn_real_b.npz"):
+        params, meta = _load(name)
+        assert int(meta["width"]) in (192, 256)
+        assert float(meta["real_holdout"]) >= 0.90, name
+        assert float(meta["exact_match"]) >= 0.75, name
+        rand = crnn.init_params(jax.random.PRNGKey(0), int(meta.get("hidden", 256)))
+        s1 = [x.shape for x in jax.tree_util.tree_leaves(params)]
+        s2 = [x.shape for x in jax.tree_util.tree_leaves(rand)]
+        assert s1 == s2, name
