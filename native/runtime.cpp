@@ -366,8 +366,24 @@ int32_t tribit_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
         add[ch] = add[ch + 3] = (uint8_t)(4 - b);
       }
       uint8_t *o = out_bits + ((size_t)s * nh + r) * row_out;
-      for (i = 0; i + 8 <= row_bytes; i += 8, o += 3) {
-        uint8_t v[8];
+      // 24-byte blocks (lcm(8, 3)): channel offsets k % 3 are compile-time
+      // after unrolling, so the residual pass vectorizes; W % 8 == 0 and
+      // rows are pixel-aligned, so a scalar 8-byte tail covers W % 24 != 0
+      uint8_t v[24];
+      for (i = 0; i + 24 <= row_bytes; i += 24, o += 9) {
+        for (int k = 0; k < 24; ++k)
+          v[k] = (uint8_t)((uint8_t)(c[i + k] - p[i + k] + add[k % 3]) & 7);
+        for (int g = 0; g < 3; ++g) {
+          const uint8_t *w = v + g * 8;
+          o[g * 3 + 0] =
+              (uint8_t)(w[0] | (uint8_t)(w[1] << 3) | (uint8_t)((w[2] & 3) << 6));
+          o[g * 3 + 1] = (uint8_t)((w[2] >> 2) | (uint8_t)(w[3] << 1) |
+                                   (uint8_t)(w[4] << 4) | (uint8_t)((w[5] & 1) << 7));
+          o[g * 3 + 2] =
+              (uint8_t)((w[5] >> 1) | (uint8_t)(w[6] << 2) | (uint8_t)(w[7] << 5));
+        }
+      }
+      for (; i + 8 <= row_bytes; i += 8, o += 3) {
         for (int k = 0; k < 8; ++k)
           v[k] = (uint8_t)((uint8_t)(c[i + k] - p[i + k] + add[(i + k) % 3]) & 7);
         o[0] = (uint8_t)(v[0] | (uint8_t)(v[1] << 3) | (uint8_t)((v[2] & 3) << 6));
