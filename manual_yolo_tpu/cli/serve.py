@@ -1,0 +1,181 @@
+"""Multi-table serving: N independent table streams through ONE BatchStream.
+
+The reference processes a single table per process (`detect.py` loop). A
+production deployment reads MANY tables per chip: each batch slot carries
+one table's latest frame, so the whole fleet shares one detect program,
+one upload, one readback per tick. The delta canvas encoder makes the
+steady state cheap — an idle table's slot hits the unchanged-frame memcmp
+(no letterbox) and the batch-level skip/tribit modes (few/no bytes on the
+link), so per-chip capacity is set by how much actually CHANGES, not by
+how many tables are attached.
+
+Default demo mode simulates a realistic fleet from the reference's
+`test2.png`: tables are static except for an occasional localized repaint
+(a card dealt / a bet updated) and rare global photometric shifts.
+
+  python -m manual_yolo_tpu.cli.serve --tables 16 --ticks 120
+  python -m manual_yolo_tpu.cli.serve --tables 8 --source synthetic
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Iterator, List
+
+import numpy as np
+
+
+def table_sim_source(
+    base_bgr: np.ndarray,
+    seed: int = 0,
+    repaint_every: float = 0.08,
+    photometric_every: float = 0.02,
+) -> Iterator[np.ndarray]:
+    """A realistic single-table stream: mostly static, occasional localized
+    repaint (card/bet region), rare global brightness shift."""
+    rng = np.random.default_rng(seed)
+    frame = base_bgr.copy()
+    h, w = frame.shape[:2]
+    while True:
+        r = rng.random()
+        if r < repaint_every:
+            # localized repaint: a card-sized region changes content
+            rh, rw = int(h * 0.08), int(w * 0.05)
+            y = int(rng.integers(0, h - rh))
+            x = int(rng.integers(0, w - rw))
+            frame = frame.copy()
+            patch = rng.integers(0, 255, (rh, rw, 3), np.uint8)
+            frame[y : y + rh, x : x + rw] = patch
+        elif r < repaint_every + photometric_every:
+            shift = rng.integers(-5, 6, (1, 1, 3), np.int16)
+            frame = np.clip(frame.astype(np.int16) + shift, 0, 255).astype(
+                np.uint8
+            )
+        yield frame
+
+
+def build_sources(spec: str, n: int, hw) -> List[Iterator[np.ndarray]]:
+    from manual_yolo_tpu.runtime import capture
+
+    if spec == "table-sim":
+        import cv2
+
+        base_path = "/root/reference/test2.png"
+        img = cv2.imread(base_path) if os.path.exists(base_path) else None
+        if img is None:
+            img = np.random.default_rng(0).integers(
+                0, 255, hw + (3,), np.uint8
+            )
+        base = cv2.resize(img, (hw[1], hw[0]), interpolation=cv2.INTER_LINEAR)
+        return [table_sim_source(base, seed=i) for i in range(n)]
+    if spec == "synthetic":
+        return [capture.synthetic_source(hw=hw, seed=i) for i in range(n)]
+    # a file/dir/video path: every table replays the same content
+    return [capture.make_source(spec, loop=True) for _ in range(n)]
+
+
+def main(argv=None) -> int:
+    from manual_yolo_tpu.config import AppConfig
+    from manual_yolo_tpu.runtime.serving import load_batch_stream
+    from manual_yolo_tpu.utils.profiling import StageTimer
+
+    cfg = AppConfig.load()
+    ap = argparse.ArgumentParser(
+        description="Serve N table streams through one batched TPU pipeline"
+    )
+    ap.add_argument("--tables", type=int, default=8)
+    ap.add_argument("--ticks", type=int, default=60,
+                    help="number of batch ticks to run (0 = forever)")
+    ap.add_argument("--source", default="table-sim",
+                    help="'table-sim' | 'synthetic' | image/dir/video path")
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1200)
+    ap.add_argument("--detector", default=cfg.detector.weights)
+    ap.add_argument("--classifier", default=cfg.rank.weights)
+    ap.add_argument("--imgsz", type=int, default=cfg.detector.imgsz)
+    ap.add_argument("--conf", type=float, default=cfg.detector.conf)
+    ap.add_argument("--out", default="serve_outputs",
+                    help="directory for per-table detection JSONL streams")
+    ap.add_argument("--stats", action="store_true",
+                    help="print per-stage timings at exit")
+    args = ap.parse_args(argv)
+
+    stream = load_batch_stream(
+        args.detector, args.classifier, batch=args.tables,
+        imgsz=args.imgsz, conf=args.conf,
+    )
+    sources = build_sources(
+        args.source, args.tables, (args.height, args.width)
+    )
+
+    from manual_yolo_tpu.runtime.native import JsonLog
+
+    os.makedirs(args.out, exist_ok=True)
+    logs = [
+        JsonLog(os.path.join(args.out, f"table_{i:02d}.jsonl"))
+        for i in range(args.tables)
+    ]
+    timer = StageTimer()
+    done_frames = 0
+    t_start = time.perf_counter()
+    last_report = t_start
+    tick = 0
+    try:
+        while args.ticks == 0 or tick < args.ticks:
+            with timer.stage("capture"):
+                frames = [next(s) for s in sources]
+            with timer.stage("submit"):
+                stream.submit_batch(frames)
+            if stream.in_flight > 2:
+                with timer.stage("collect"):
+                    results = stream.collect_batch()
+                for ti, dets in enumerate(results):
+                    logs[ti].append(json.dumps(
+                        {"tick": tick, "detections": len(dets),
+                         "fields": [d for d in dets if d["ocr_text"]]},
+                        separators=(",", ":"),
+                    ))
+                done_frames += len(results)
+            tick += 1
+            now = time.perf_counter()
+            if now - last_report >= 1.0 and done_frames:
+                fps = done_frames / (now - t_start)
+                print(
+                    f"[serve] tables={args.tables} ticks={tick} "
+                    f"frames/s={fps:.1f} "
+                    f"({fps / args.tables:.1f} ticks/s/table) "
+                    f"modes={stream.mode_counts} memo={stream.memo_hits}",
+                    file=sys.stderr,
+                )
+                last_report = now
+        while stream.in_flight:
+            for ti, dets in enumerate(stream.collect_batch()):
+                logs[ti].append(json.dumps(
+                    {"tick": tick, "detections": len(dets),
+                     "fields": [d for d in dets if d["ocr_text"]]},
+                    separators=(",", ":"),
+                ))
+                done_frames += 1
+    except KeyboardInterrupt:
+        pass
+    finally:
+        for lg in logs:
+            lg.close()
+    wall = time.perf_counter() - t_start
+    print(json.dumps({
+        "tables": args.tables, "ticks": tick,
+        "frames": done_frames, "wall_s": round(wall, 2),
+        "frames_per_s": round(done_frames / max(wall, 1e-9), 2),
+        "modes": stream.mode_counts, "memo_hits": stream.memo_hits,
+    }))
+    if args.stats:
+        print(timer.report(), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -269,8 +269,12 @@ class BatchStream:
         channel) delta span is <= 7: per-ROW biases + 3-bit residuals
         (8 values per 3 bytes) = 3/8 the raw bytes. Native-encoded;
         active-geometry batches only.
-      * **raw**   — a wider delta span anywhere (e.g. a repaint: new card
-        pixels differ by hundreds): upload the full canvas batch.
+      * **slots** — at most B/4 slots changed (one table repainted in a
+        multi-table fleet): upload ONLY those slots' active rows, raw;
+        the device gathers them into the resident canvas (scatter-free
+        gather + where). Slot-count bucketed to powers of two, one
+        program per (geometry, bucket).
+      * **raw**   — dense wide-span change: upload the full canvas batch.
 
     **Active-rows upload**: when every slot shares one letterbox geometry
     with full-width content (the steady-state capture case — e.g.
@@ -355,7 +359,13 @@ class BatchStream:
         self._slot_geom: Dict = {}
         self.memo_hits = 0
         self._dev_prev = jnp.zeros((n_px,), jnp.uint8)
-        self.mode_counts = {"raw": 0, "nibble": 0, "tribit": 0, "skip": 0}
+        self.mode_counts = {
+            "raw": 0, "nibble": 0, "tribit": 0, "slots": 0, "skip": 0,
+        }
+        self._slots_progs: Dict[Tuple[int, int, int], object] = {}
+        # per-slot mode engages when at most this many slots changed (beyond
+        # that the dense tribit/nibble payloads are byte-cheaper)
+        self._slots_max = max(1, batch // 4)
 
         def detect_core(params, canvases_flat_u8):
             canvases_u8_bgr = canvases_flat_u8.reshape(batch, imgsz, imgsz, 3)
@@ -485,6 +495,14 @@ class BatchStream:
                             _jnp.asarray(item.pop("payload")),
                             self._dev_prev,
                         )
+                    elif mode == "slots":
+                        fut, dev = item.pop("slots_fn")(
+                            self.det_params,
+                            _jnp.asarray(item.pop("payload")),
+                            _jnp.asarray(item.pop("g")),
+                            _jnp.asarray(item.pop("mask")),
+                            self._dev_prev,
+                        )
                     elif mode == "raw_active":
                         fut, dev = item.pop("raw_fn")(
                             self.det_params, _jnp.asarray(item.pop("act"))
@@ -611,6 +629,36 @@ class BatchStream:
             }
         return self._active_progs[key]
 
+    def _get_slots_prog(self, top: int, nh: int, kp: int):
+        """Per-SLOT update program: kp changed slots' active rows replace
+        their canvas slots (gather + where — scatter-free); unchanged slots
+        keep the resident canvas. One compiled program per (geometry,
+        bucket) pair, built lazily."""
+        key = (top, nh, kp)
+        if key not in self._slots_progs:
+            import jax
+            import jax.numpy as jnp
+
+            B, imgsz = self.B, self.imgsz
+            bot = imgsz - top - nh
+            detect_core = self._detect_core
+
+            def slots_active(params, payload_u8, g_i32, mask_b, prev_flat_u8):
+                act = payload_u8.reshape(kp, nh, imgsz, 3)
+                upd = jnp.pad(
+                    act, ((0, 0), (top, bot), (0, 0), (0, 0)),
+                    constant_values=np.uint8(114),
+                )
+                gathered = upd[g_i32]  # (B, imgsz, imgsz, 3)
+                prev = prev_flat_u8.reshape(B, imgsz, imgsz, 3)
+                canvases = jnp.where(
+                    mask_b[:, None, None, None], gathered, prev
+                ).reshape(-1)
+                return detect_core(params, canvases)
+
+            self._slots_progs[key] = jax.jit(slots_active)
+        return self._slots_progs[key]
+
     def _batch_geom(self, metas) -> Optional[Tuple[int, int]]:
         """(top, nh) when every slot letterboxed to the SAME full-width
         geometry (active-rows upload applies); None otherwise."""
@@ -722,6 +770,7 @@ class BatchStream:
         self._staging_i = (self._staging_i + 1) % len(self._staging)
         staging = self._staging[self._staging_i]
         metas = []
+        changed = [True] * self.B  # per-slot: staging differs from previous
         all_unchanged = self.delta and self._prev_staging is not None
         for i, f in enumerate(frames):
             # unchanged-frame fast path: a static capture slot re-sends the
@@ -740,6 +789,7 @@ class BatchStream:
                 # letterboxed with -> force a padding clear next time
                 self._slot_geom[(self._staging_i, i)] = "copied"
                 metas.append(self._prev_metas[i])
+                changed[i] = False
             else:
                 metas.append(
                     self._letterbox_into(staging[i], f, (self._staging_i, i))
@@ -757,15 +807,23 @@ class BatchStream:
                 # resident canvas's padding must already be 114 there — true
                 # iff the previous batch shared this geometry
                 if geom is not None and self._prev_geom == geom:
-                    # tightest first: 3-bit per-row-bias (3/8 bytes), then
-                    # 4-bit per-slot-bias (1/2 bytes)
-                    payload = self._encode_tribit(staging, *geom)
-                    if payload is not None:
-                        mode = "tribit"
+                    n_changed = sum(changed)
+                    if 0 < n_changed <= self._slots_max:
+                        # few slots changed (e.g. one table repainted in a
+                        # multi-table fleet): upload ONLY those slots' active
+                        # rows raw — K x 0.9 MB instead of a 24.5 MB full
+                        # raw batch when one card flips
+                        mode = "slots"
                     else:
-                        payload = self._encode_nibble(staging, *geom)
+                        # dense change: tightest first — 3-bit per-row-bias
+                        # (3/8 bytes), then 4-bit per-slot-bias (1/2 bytes)
+                        payload = self._encode_tribit(staging, *geom)
                         if payload is not None:
-                            mode = "nibble"
+                            mode = "tribit"
+                        else:
+                            payload = self._encode_nibble(staging, *geom)
+                            if payload is not None:
+                                mode = "nibble"
                 else:
                     payload = self._encode_nibble(staging)
                     if payload is not None:
@@ -791,6 +849,24 @@ class BatchStream:
         elif mode == "tribit":
             item["tribit_fn"] = self._get_active_progs(*geom)["tribit"]
             item["payload"] = payload
+        elif mode == "slots":
+            idx = [i for i, c in enumerate(changed) if c]
+            kp = 1
+            while kp < len(idx):
+                kp *= 2
+            kp = min(kp, self.B)
+            top, nh = geom
+            pay = np.zeros((kp, nh, self.imgsz, 3), np.uint8)
+            g = np.zeros(self.B, np.int32)
+            mask = np.zeros(self.B, bool)
+            for pos, b in enumerate(idx):
+                pay[pos] = staging[b, top : top + nh]
+                g[b] = pos
+                mask[b] = True
+            item["slots_fn"] = self._get_slots_prog(top, nh, kp)
+            item["payload"] = pay.reshape(-1)
+            item["g"] = g
+            item["mask"] = mask
         elif mode == "raw":
             if geom is not None:
                 item["raw_fn"] = self._get_active_progs(*geom)["raw"]

@@ -163,11 +163,15 @@ def test_batch_stream_delta_matches_raw():
         assert any(len(d) for d in r1)  # stream actually detected something
     # the stream above must have exercised the delta encoder end to end:
     # small constant jitter lands in tribit (native) or nibble (numpy
-    # fallback), the repeat in skip, the repaint (and first batch) in raw
-    assert s_delta.mode_counts["raw"] >= 2  # first batch + repaint
+    # fallback), the repeat in skip, the single-slot repaint in the
+    # per-slot mode, the first batch in raw
+    assert s_delta.mode_counts["raw"] >= 1  # first batch
+    assert s_delta.mode_counts["slots"] == 1  # the one-slot repaint
     assert s_delta.mode_counts["tribit"] + s_delta.mode_counts["nibble"] >= 2
     assert s_delta.mode_counts["skip"] == 1
-    assert s_raw.mode_counts == {"raw": 5, "nibble": 0, "tribit": 0, "skip": 0}
+    assert s_raw.mode_counts == {
+        "raw": 5, "nibble": 0, "tribit": 0, "slots": 0, "skip": 0,
+    }
 
 
 def test_batch_stream_letterbox_geometry_change_clears_padding():
