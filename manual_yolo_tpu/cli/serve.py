@@ -99,9 +99,22 @@ def main(argv=None) -> int:
     ap.add_argument("--imgsz", type=int, default=cfg.detector.imgsz)
     ap.add_argument("--conf", type=float, default=cfg.detector.conf)
     ap.add_argument("--out", default="serve_outputs",
-                    help="directory for per-table detection JSONL streams")
+                    help="directory for per-table detection JSONL streams "
+                         "and game-state JSON files")
+    ap.add_argument("--save-every", type=int, default=8,
+                    help="persist each table's game_<id>.json every N ticks "
+                         "(the reference saves every 0.5 s, detect.py:657)")
+    ap.add_argument("--ocr", action="store_true",
+                    help="read text fields (stacks/names/pot/game_id) with "
+                         "the default OCR engine for tables whose frame "
+                         "changed this tick (ranks are always classified "
+                         "on-device by the batch pipeline)")
     ap.add_argument("--stats", action="store_true",
                     help="print per-stage timings at exit")
+    ap.add_argument("--warmup-ticks", type=int, default=10,
+                    help="ticks excluded from the steady-state rate (lazy "
+                         "per-bucket program compiles land here; the remote "
+                         "compile service never caches across processes)")
     args = ap.parse_args(argv)
 
     stream = load_batch_stream(
@@ -112,6 +125,7 @@ def main(argv=None) -> int:
         args.source, args.tables, (args.height, args.width)
     )
 
+    from manual_yolo_tpu.game.state import GameTracker
     from manual_yolo_tpu.runtime.native import JsonLog
 
     os.makedirs(args.out, exist_ok=True)
@@ -119,28 +133,96 @@ def main(argv=None) -> int:
         JsonLog(os.path.join(args.out, f"table_{i:02d}.jsonl"))
         for i in range(args.tables)
     ]
+    # one game-state machine per table: the full detect.py lifecycle
+    # (hero-card change -> new game id -> game_<id>.json) per fleet member
+    trackers = [
+        GameTracker(output_dir=os.path.join(args.out, f"table_{i:02d}"))
+        for i in range(args.tables)
+    ]
+    ocr_engine = None
+    if args.ocr:
+        from manual_yolo_tpu.runtime.ocr import default_ocr_engine
+
+        ocr_engine = default_ocr_engine()
+
+    def read_text_fields(frame, dets):
+        """OCR the non-rank text fields of one table's detections in one
+        batched engine call (reference cascade, detect.py:580-600)."""
+        from manual_yolo_tpu.game import taxonomy
+        from manual_yolo_tpu.runtime.native import crop_u8
+
+        idxs, crops, names = [], [], []
+        for i, d in enumerate(dets):
+            name = d["class_name"]
+            if name in taxonomy.RANK_CLASSES or not (
+                name.endswith(("_name", "_stack", "_bet"))
+                or name in ("total_pot", "game_id", "iinput_field",
+                            "my_stack", "my_bet")
+            ):
+                continue
+            x1, y1, x2, y2 = d["bbox"]
+            crop = crop_u8(frame, y1 - 2, x1 - 2, y2 + 2, x2 + 2)
+            if crop.size == 0:
+                continue
+            idxs.append(i)
+            crops.append(crop)
+            names.append(name)
+        if idxs:
+            for i, text in zip(
+                idxs, ocr_engine.read_fields(crops, names)
+            ):
+                if text:
+                    dets[i]["ocr_text"] = text
+
+    import collections as coll
+
+    # frames travel with their batch: collect order == submit order
+    batch_meta = coll.deque()
+    prev_frame_refs: List = [None] * args.tables
+
     timer = StageTimer()
     done_frames = 0
     t_start = time.perf_counter()
     last_report = t_start
+    steady_t0 = None
+    steady_frames0 = 0
     tick = 0
     try:
         while args.ticks == 0 or tick < args.ticks:
             with timer.stage("capture"):
                 frames = [next(s) for s in sources]
+            due = [f is not prev_frame_refs[i] for i, f in enumerate(frames)]
+            prev_frame_refs = list(frames)
+            batch_meta.append((frames, due))
             with timer.stage("submit"):
                 stream.submit_batch(frames)
             if stream.in_flight > 2:
                 with timer.stage("collect"):
                     results = stream.collect_batch()
+                c_frames, c_due = batch_meta.popleft()
                 for ti, dets in enumerate(results):
+                    # unchanged frame -> identical detections -> identical
+                    # state transition: skip the update (and its OCR); this
+                    # also protects text fields from being overwritten by
+                    # the empty reads of OCR-skipped ticks
+                    if c_due[ti]:
+                        if ocr_engine is not None:
+                            with timer.stage("ocr"):
+                                read_text_fields(c_frames[ti], dets)
+                        trackers[ti].update(dets)
                     logs[ti].append(json.dumps(
                         {"tick": tick, "detections": len(dets),
                          "fields": [d for d in dets if d["ocr_text"]]},
                         separators=(",", ":"),
                     ))
                 done_frames += len(results)
+                if args.save_every and tick % args.save_every == 0:
+                    for tr in trackers:
+                        tr.save()
             tick += 1
+            if tick == args.warmup_ticks:
+                steady_t0 = time.perf_counter()
+                steady_frames0 = done_frames
             now = time.perf_counter()
             if now - last_report >= 1.0 and done_frames:
                 fps = done_frames / (now - t_start)
@@ -153,7 +235,15 @@ def main(argv=None) -> int:
                 )
                 last_report = now
         while stream.in_flight:
-            for ti, dets in enumerate(stream.collect_batch()):
+            results = stream.collect_batch()
+            c_frames, c_due = (
+                batch_meta.popleft() if batch_meta else (None, None)
+            )
+            for ti, dets in enumerate(results):
+                if c_due is None or c_due[ti]:
+                    if ocr_engine is not None and c_frames is not None:
+                        read_text_fields(c_frames[ti], dets)
+                    trackers[ti].update(dets)
                 logs[ti].append(json.dumps(
                     {"tick": tick, "detections": len(dets),
                      "fields": [d for d in dets if d["ocr_text"]]},
@@ -163,15 +253,25 @@ def main(argv=None) -> int:
     except KeyboardInterrupt:
         pass
     finally:
+        # graceful shutdown: persist every table's in-flight game
+        # (reference detect.py:702-706 semantics, fleet-wide)
+        for tr in trackers:
+            tr.save()
         for lg in logs:
             lg.close()
     wall = time.perf_counter() - t_start
-    print(json.dumps({
+    summary = {
         "tables": args.tables, "ticks": tick,
         "frames": done_frames, "wall_s": round(wall, 2),
         "frames_per_s": round(done_frames / max(wall, 1e-9), 2),
         "modes": stream.mode_counts, "memo_hits": stream.memo_hits,
-    }))
+    }
+    if steady_t0 is not None and done_frames > steady_frames0:
+        sw = time.perf_counter() - steady_t0
+        summary["steady_frames_per_s"] = round(
+            (done_frames - steady_frames0) / max(sw, 1e-9), 2
+        )
+    print(json.dumps(summary))
     if args.stats:
         print(timer.report(), file=sys.stderr)
     return 0
