@@ -259,6 +259,7 @@ def main(argv=None) -> int:
             tr.save()
         for lg in logs:
             lg.close()
+        stream.close()
     wall = time.perf_counter() - t_start
     summary = {
         "tables": args.tables, "ticks": tick,

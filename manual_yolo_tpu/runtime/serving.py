@@ -970,6 +970,23 @@ class BatchStream:
     def in_flight(self) -> int:
         return len(self._pending)
 
+    def close(self) -> None:
+        """Stop the dispatcher/finisher threads (idempotent). Pending
+        batches should be collected first; uncollected ones are dropped."""
+        if getattr(self, "_closed", False):
+            return
+        self._closed = True
+        self._dispatch_q.put(None)
+        self._work_q.put(None)
+        self._dispatch_thread.join(timeout=5)
+        self._worker_thread.join(timeout=5)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
 
 def load_streaming_engine(
     detector_weights: str, classifier_weights: str, **kwargs

@@ -304,3 +304,38 @@ def test_batch_stream_active_rows_upload_lossless():
         assert s_delta.mode_counts["tribit"] >= 1
     assert s_delta.mode_counts["nibble"] >= 1
     assert s_delta.mode_counts["raw"] >= 3  # first, tall, and B->A switch
+
+
+def test_serve_cli_fleet_end_to_end(tmp_path):
+    """cli/serve.py: N table streams -> per-table JSONL + game_<id>.json,
+    delta modes engaged, trackers fed only on changed ticks."""
+    import json as json_mod
+    import os
+
+    if not os.path.exists("weights/poker_detector_n.npz"):
+        pytest.skip("trained weights not present")
+    from manual_yolo_tpu.cli import serve
+
+    out = str(tmp_path / "fleet")
+    rc = serve.main([
+        "--tables", "2", "--ticks", "8", "--imgsz", "192",
+        "--width", "480", "--height", "300",
+        "--detector", "weights/poker_detector_n.npz",
+        "--classifier", "weights/rank_classifier_matched.npz",
+        "--out", out, "--save-every", "4", "--warmup-ticks", "2",
+    ])
+    assert rc == 0
+    for ti in range(2):
+        jsonl = os.path.join(out, f"table_{ti:02d}.jsonl")
+        assert os.path.exists(jsonl)
+        rows = [json_mod.loads(l) for l in open(jsonl)]
+        assert len(rows) == 8 and all("detections" in r for r in rows)
+        games = [
+            f for f in os.listdir(os.path.join(out, f"table_{ti:02d}"))
+            if f.startswith("game_")
+        ]
+        assert games, "game-state files must be persisted"
+        g = json_mod.load(
+            open(os.path.join(out, f"table_{ti:02d}", sorted(games)[-1]))
+        )
+        assert {"hero", "board", "villains", "game_state"} <= set(g)
