@@ -28,11 +28,22 @@ def make_dp_train_step(
     mesh: Mesh,
     compute_dtype=jnp.bfloat16,
     data_axis: str = "data",
+    spatial_axis: str = None,
 ):
     """Returns a jitted (params, ema, opt_state, step, x, t, m) -> ... step
-    with batch sharded over ``data_axis`` and state replicated."""
+    with batch sharded over ``data_axis`` and state replicated.
+
+    ``spatial_axis`` additionally shards the input's H dimension over that
+    mesh axis (2-D data x spatial parallelism): XLA SPMD inserts the conv
+    halo exchanges and the loss's cross-shard collectives automatically —
+    the spatial analogue of sequence parallelism for large frames."""
     repl = NamedSharding(mesh, P())
     bsh = NamedSharding(mesh, P(data_axis))
+    xsh = (
+        NamedSharding(mesh, P(data_axis, spatial_axis))
+        if spatial_axis
+        else bsh
+    )
 
     def step_fn(params, ema_params, opt_state, step, x, t, m):
         def loss_fn(p):
@@ -51,6 +62,6 @@ def make_dp_train_step(
 
     return jax.jit(
         step_fn,
-        in_shardings=(repl, repl, repl, repl, bsh, bsh, bsh),
+        in_shardings=(repl, repl, repl, repl, xsh, bsh, bsh),
         out_shardings=(repl, repl, repl, repl, repl),
     )
