@@ -29,7 +29,7 @@ import numpy as np
 BASELINE_FPS = 200.0
 SRC_HW = (1200, 1920)
 BATCH = 32
-WARM_BATCHES = 3
+WARM_BATCHES = 10  # raw_active + skip + all 8 segs-mode jitter deltas
 MEAS_BATCHES = 12
 IN_FLIGHT = 2
 
@@ -104,9 +104,11 @@ def measure_stream(stream, frames, meas_batches=MEAS_BATCHES) -> float:
     def batch_at(t):
         return [frames[(t + i) % len(frames)] for i in range(BATCH)]
 
-    # warmup compiles all three delta-mode programs: raw (first batch),
-    # skip (repeat), nibble (rotation)
-    for t in (0, 0, 1, 2, 3, 4)[: max(WARM_BATCHES, 3)]:
+    # warmup compiles the delta-mode programs: raw (first batch), skip
+    # (repeat), then the per-segment mode across several jitter deltas so
+    # every payload-size bucket the stream will hit is compiled before
+    # measurement starts
+    for t in (0, 0, 1, 2, 3, 4, 5, 6, 7, 8)[: max(WARM_BATCHES, 3)]:
         stream.submit_batch(batch_at(t))
         if stream.in_flight > IN_FLIGHT:
             stream.collect_batch()

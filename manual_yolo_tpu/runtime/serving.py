@@ -274,6 +274,17 @@ class BatchStream:
         the device gathers them into the resident canvas (scatter-free
         gather + where). Slot-count bucketed to powers of two, one
         program per (geometry, bucket).
+      * **segs** — per-SEGMENT multi-class coding (each row splits into 8
+        segments; every segment independently lands in const / 2-bit /
+        3-bit / raw by its delta span). Payloads append densely per class;
+        the device recovers each segment's payload position with cumsum
+        ranks over the class array and three aligned row gathers —
+        scatter-free, offset-free on the wire. Handles MIXED streams
+        (global jitter + local repaints) that defeat the whole-batch span
+        tests of tribit/nibble, at ~1/3 of the tribit bytes on the bench's
+        jittered stream (most segments are const after a per-segment
+        bias). Program key is (geometry, payload-size bucket) — class
+        boundaries are dynamic, so one program serves any class mix.
       * **raw**   — dense wide-span change: upload the full canvas batch.
 
     **Active-rows upload**: when every slot shares one letterbox geometry
@@ -360,9 +371,13 @@ class BatchStream:
         self.memo_hits = 0
         self._dev_prev = jnp.zeros((n_px,), jnp.uint8)
         self.mode_counts = {
-            "raw": 0, "nibble": 0, "tribit": 0, "slots": 0, "skip": 0,
+            "raw": 0, "nibble": 0, "tribit": 0, "slots": 0, "segs": 0,
+            "skip": 0,
         }
         self._slots_progs: Dict[Tuple[int, int, int], object] = {}
+        self._segs_progs: Dict[Tuple[int, int, int], object] = {}
+        # seg-mode host buffers, lazily sized per active-height
+        self._segs_bufs: Dict[int, Dict] = {}
         # per-slot mode engages when at most this many slots changed (beyond
         # that the dense tribit/nibble payloads are byte-cheaper)
         self._slots_max = max(1, batch // 4)
@@ -491,6 +506,12 @@ class BatchStream:
                         )
                     elif mode == "tribit":
                         fut, dev = item.pop("tribit_fn")(
+                            self.det_params,
+                            _jnp.asarray(item.pop("payload")),
+                            self._dev_prev,
+                        )
+                    elif mode == "segs":
+                        fut, dev = item.pop("segs_fn")(
                             self.det_params,
                             _jnp.asarray(item.pop("payload")),
                             self._dev_prev,
@@ -659,6 +680,179 @@ class BatchStream:
             self._slots_progs[key] = jax.jit(slots_active)
         return self._slots_progs[key]
 
+    def _get_segs_prog(self, top: int, nh: int, np_bucket: int):
+        """Per-SEGMENT decode program: class boundaries inside the payload
+        are DYNAMIC (cumsum ranks over the class array), so one compiled
+        program per (geometry, payload-size bucket) serves every mix of
+        const/2-bit/3-bit/raw segments. All three payload gathers are
+        row-aligned slices (scatter-free, embedding-lookup shaped)."""
+        key = (top, nh, np_bucket)
+        if key not in self._segs_progs:
+            import jax
+            import jax.numpy as jnp
+
+            B, imgsz = self.B, self.imgsz
+            bot = imgsz - top - nh
+            segw = imgsz // 8
+            segb = segw * 3
+            q2, q3, qr = segb // 4, segb * 3 // 8, segb
+            nseg = B * nh * 8
+            Np = np_bucket
+            detect_core = self._detect_core
+            u = jnp.uint8
+
+            def segs_active(params, payload_u8, prev_flat_u8):
+                # payload layout (host mirror in _encode_segs):
+                #   [2-bit block | pad to %q3 | 3-bit block | pad to %qr |
+                #    raw block | zero pad to Np | bias (nseg*3) |
+                #    cls 2-bit packed (nseg/4)]
+                bits = payload_u8[:Np]
+                bias = payload_u8[Np : Np + nseg * 3].reshape(nseg, 3)
+                clsp = payload_u8[Np + nseg * 3 :]
+                cls = jnp.stack(
+                    [
+                        jnp.bitwise_and(clsp, u(3)),
+                        jnp.bitwise_and(jnp.right_shift(clsp, u(2)), u(3)),
+                        jnp.bitwise_and(jnp.right_shift(clsp, u(4)), u(3)),
+                        jnp.right_shift(clsp, u(6)),
+                    ],
+                    axis=-1,
+                ).reshape(-1).astype(jnp.int32)
+                is2, is3, isr = cls == 1, cls == 2, cls == 3
+                # rank of each segment within its class == its payload slot
+                # (host appends per class in the same scan order)
+                r2 = jnp.cumsum(is2.astype(jnp.int32)) - 1
+                r3 = jnp.cumsum(is3.astype(jnp.int32)) - 1
+                rr = jnp.cumsum(isr.astype(jnp.int32)) - 1
+                k2 = jnp.sum(is2.astype(jnp.int32))
+                k3 = jnp.sum(is3.astype(jnp.int32))
+                b2p = ((q2 * k2 + q3 - 1) // q3) * q3
+                b23p = ((b2p + q3 * k3 + qr - 1) // qr) * qr
+                # decode the WHOLE payload under each packing (cheap vector
+                # ops); block alignment makes every segment's values land on
+                # a whole decoded row: 2-bit rows from byte 0, 3-bit rows
+                # from b2p (multiple of q3), raw rows from b23p (mult of qr)
+                d2 = jnp.stack(
+                    [
+                        jnp.bitwise_and(bits, u(3)),
+                        jnp.bitwise_and(jnp.right_shift(bits, u(2)), u(3)),
+                        jnp.bitwise_and(jnp.right_shift(bits, u(4)), u(3)),
+                        jnp.right_shift(bits, u(6)),
+                    ],
+                    axis=-1,
+                ).reshape(-1, segb)
+                b3 = bits.reshape(-1, 3)
+                c0, c1, c2 = b3[:, 0], b3[:, 1], b3[:, 2]
+                d3 = jnp.stack(
+                    [
+                        jnp.bitwise_and(c0, u(7)),
+                        jnp.bitwise_and(jnp.right_shift(c0, u(3)), u(7)),
+                        jnp.bitwise_or(
+                            jnp.right_shift(c0, u(6)),
+                            jnp.left_shift(jnp.bitwise_and(c1, u(1)), u(2)),
+                        ),
+                        jnp.bitwise_and(jnp.right_shift(c1, u(1)), u(7)),
+                        jnp.bitwise_and(jnp.right_shift(c1, u(4)), u(7)),
+                        jnp.bitwise_or(
+                            jnp.right_shift(c1, u(7)),
+                            jnp.left_shift(jnp.bitwise_and(c2, u(3)), u(1)),
+                        ),
+                        jnp.bitwise_and(jnp.right_shift(c2, u(2)), u(7)),
+                        jnp.right_shift(c2, u(5)),
+                    ],
+                    axis=-1,
+                ).reshape(-1, segb)
+                draw = bits.reshape(-1, segb)
+                g2 = jnp.take(d2, jnp.where(is2, r2, 0), axis=0)
+                g3 = jnp.take(d3, jnp.where(is3, b2p // q3 + r3, 0), axis=0)
+                gr = jnp.take(draw, jnp.where(isr, b23p // qr + rr, 0), axis=0)
+                prev = prev_flat_u8.reshape(B, imgsz, imgsz, 3)
+                pact = jax.lax.slice_in_dim(
+                    prev, top, top + nh, axis=1
+                ).reshape(nseg, segb)
+                biasx = jnp.broadcast_to(
+                    bias[:, None, :], (nseg, segw, 3)
+                ).reshape(nseg, segb)
+                delta = (
+                    jnp.where(
+                        is2[:, None], g2 - u(2),
+                        jnp.where(is3[:, None], g3 - u(4), u(0)),
+                    )
+                    + biasx
+                )  # uint8 wraparound -> bit-exact
+                newseg = jnp.where(isr[:, None], gr, pact + delta)
+                act = newseg.reshape(B, nh, imgsz, 3)
+                canv = jnp.pad(
+                    act, ((0, 0), (top, bot), (0, 0), (0, 0)),
+                    constant_values=np.uint8(114),
+                )
+                return detect_core(params, canv.reshape(-1))
+
+            self._segs_progs[key] = jax.jit(segs_active)
+        return self._segs_progs[key]
+
+    def _encode_segs(self, staging: np.ndarray, top: int, nh: int):
+        """Build the segs-mode payload over the active rows. Returns
+        (payload_view, np_bucket) or None when the encoding isn't
+        beneficial (caller falls back to tribit/nibble/raw)."""
+        imgsz = self.imgsz
+        segw = imgsz // 8
+        if segw % 8 != 0 or imgsz % segw != 0:
+            return None
+        segb = segw * 3
+        q2, q3, qr = segb // 4, segb * 3 // 8, segb
+        nseg = self.B * nh * 8
+        raw_act = self.B * nh * imgsz * 3
+        bufs = self._segs_bufs.get(nh)
+        if bufs is None:
+            # Np bucket step: multiple of lcm(q2, q3, qr) so every decoded
+            # view reshapes to whole rows; ~raw/8 (capped ~0.7 MB) keeps the
+            # program count low (each distinct bucket is one lazy compile)
+            # without the minimum bucket swamping small-canvas payloads
+            lcm = int(np.lcm.reduce([q2, q3, qr]))
+            step = lcm * max(1, min(1024, raw_act // (8 * lcm)))
+            cap = ((raw_act // 2 + step - 1) // step) * step + nseg * 3 + nseg // 4
+            bufs = {
+                "p2": np.zeros(nseg * q2, np.uint8),
+                "p3": np.zeros(nseg * q3, np.uint8),
+                "raw": np.zeros(nseg * qr, np.uint8),
+                "bias": np.zeros(nseg * 3, np.uint8),
+                "cls": np.zeros(nseg, np.uint8),
+                # rotates with the staging pool: the dispatched payload must
+                # stay untouched until its device_put completes
+                "pay": [np.zeros(cap, np.uint8) for _ in range(4)],
+                "step": step,
+            }
+            self._segs_bufs[nh] = bufs
+        counts = native.seg_encode(
+            staging, self._prev_staging, top, nh, segw,
+            bufs["p2"], bufs["p3"], bufs["raw"], bufs["bias"], bufs["cls"],
+        )
+        if counts is None:
+            return None
+        k2, k3, kr = counts
+        b2p = ((q2 * k2 + q3 - 1) // q3) * q3  # 3-bit block start: % q3 == 0
+        b23p = ((b2p + q3 * k3 + qr - 1) // qr) * qr  # raw block: % qr == 0
+        used = b23p + qr * kr
+        step = bufs["step"]
+        np_bucket = max(step, ((used + step - 1) // step) * step)
+        total = np_bucket + nseg * 3 + nseg // 4
+        if total >= raw_act // 2:  # nibble/raw would be no worse
+            return None
+        pay = bufs["pay"][self._staging_i % 4]
+        pay[: q2 * k2] = bufs["p2"][: q2 * k2]
+        pay[q2 * k2 : b2p] = 0
+        pay[b2p : b2p + q3 * k3] = bufs["p3"][: q3 * k3]
+        pay[b2p + q3 * k3 : b23p] = 0
+        pay[b23p:used] = bufs["raw"][: qr * kr]
+        pay[used:np_bucket] = 0  # bucket pad: zeros compress in transit
+        pay[np_bucket : np_bucket + nseg * 3] = bufs["bias"]
+        cls = bufs["cls"]
+        pay[np_bucket + nseg * 3 : total] = (
+            cls[0::4] | cls[1::4] << 2 | cls[2::4] << 4 | cls[3::4] << 6
+        )
+        return pay[:total], np_bucket
+
     def _batch_geom(self, metas) -> Optional[Tuple[int, int]]:
         """(top, nh) when every slot letterboxed to the SAME full-width
         geometry (active-rows upload applies); None otherwise."""
@@ -798,7 +992,7 @@ class BatchStream:
             if self.delta:
                 self._prev_frames[i] = f
         geom = self._batch_geom(metas)
-        mode, payload = "raw", None
+        mode, payload, seg_bucket = "raw", None, None
         if self.delta and self._prev_staging is not None:
             if all_unchanged or np.array_equal(staging, self._prev_staging):
                 mode = "skip"
@@ -815,15 +1009,30 @@ class BatchStream:
                         # raw batch when one card flips
                         mode = "slots"
                     else:
-                        # dense change: tightest first — 3-bit per-row-bias
-                        # (3/8 bytes), then 4-bit per-slot-bias (1/2 bytes)
-                        payload = self._encode_tribit(staging, *geom)
-                        if payload is not None:
-                            mode = "tribit"
-                        else:
-                            payload = self._encode_nibble(staging, *geom)
+                        # dense change: per-segment multi-class coding first
+                        # (const segments are free, mixed jitter+repaint
+                        # streams still encode); dense tribit (3/8 bytes)
+                        # only when it would be byte-cheaper AND fits, then
+                        # nibble (1/2 bytes)
+                        seg_res = self._encode_segs(staging, *geom)
+                        tribit_bytes = (
+                            self.B * geom[1] * (self.imgsz * 3 * 3 // 8 + 3)
+                        )
+                        if seg_res is not None and len(seg_res[0]) > tribit_bytes:
+                            tri = self._encode_tribit(staging, *geom)
+                            if tri is not None:
+                                seg_res, payload, mode = None, tri, "tribit"
+                        if seg_res is not None:
+                            payload, seg_bucket = seg_res
+                            mode = "segs"
+                        elif mode == "raw":
+                            payload = self._encode_tribit(staging, *geom)
                             if payload is not None:
-                                mode = "nibble"
+                                mode = "tribit"
+                            else:
+                                payload = self._encode_nibble(staging, *geom)
+                                if payload is not None:
+                                    mode = "nibble"
                 else:
                     payload = self._encode_nibble(staging)
                     if payload is not None:
@@ -848,6 +1057,9 @@ class BatchStream:
             item["payload"] = payload
         elif mode == "tribit":
             item["tribit_fn"] = self._get_active_progs(*geom)["tribit"]
+            item["payload"] = payload
+        elif mode == "segs":
+            item["segs_fn"] = self._get_segs_prog(*geom, seg_bucket)
             item["payload"] = payload
         elif mode == "slots":
             idx = [i for i, c in enumerate(changed) if c]

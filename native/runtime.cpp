@@ -396,4 +396,134 @@ int32_t tribit_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
   return 1;
 }
 
+// ---------------------------------------------------------------------------
+// seg_encode: per-SEGMENT multi-class delta encoder (the "segs" streaming
+// mode). Each row of the active region splits into width/segw segments of
+// segb = segw*3 bytes; every segment is independently classified by its
+// per-channel delta span and encoded in the cheapest class that fits:
+//
+//   class 0 (const): span == 0 on every channel -> bias IS the delta,
+//                    zero payload bytes
+//   class 1 (2-bit): span <= 3  -> v = d - bias + 2 in [0, 3],
+//                    4 values/byte, segb/4 payload bytes
+//   class 2 (3-bit): span <= 7  -> v = d - bias + 4 in [0, 7],
+//                    8 values per 3 bytes, segb*3/8 payload bytes
+//   class 3 (raw):   anything   -> the segment's cur bytes verbatim
+//
+// Biases are clipped toward 0 (zero-delta regions stay maximally
+// transit-compressible); all arithmetic is mod 256 -> bit-exact. Payloads
+// append densely per class in scan order (the device recovers each
+// segment's position from a cumsum over the class array — no offsets on
+// the wire). Never fails; out_counts = {n_2bit, n_3bit, n_raw}.
+// Requires segw % 8 == 0 (so segb % 24 == 0: whole 24-lane blocks only).
+// ---------------------------------------------------------------------------
+int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
+                   int32_t nh, int32_t width, int64_t slot_stride,
+                   int32_t segw, uint8_t *out_p2, uint8_t *out_p3,
+                   uint8_t *out_raw, uint8_t *out_bias, uint8_t *out_cls,
+                   int64_t *out_counts) {
+  if (segw % 8 != 0 || width % segw != 0) return 0;
+  const int64_t row_bytes = (int64_t)width * 3;
+  const int32_t nsegrow = width / segw;
+  const int64_t segb = (int64_t)segw * 3;  // % 24 == 0
+  int64_t k2 = 0, k3 = 0, kr = 0, seg_i = 0;
+  for (int32_t s = 0; s < nslots; ++s) {
+    for (int32_t r = 0; r < nh; ++r) {
+      const uint8_t *crow = cur + (size_t)s * slot_stride + (size_t)r * row_bytes;
+      const uint8_t *prow = prev + (size_t)s * slot_stride + (size_t)r * row_bytes;
+      for (int32_t g = 0; g < nsegrow; ++g, ++seg_i) {
+        const uint8_t *c = crow + (size_t)g * segb;
+        const uint8_t *p = prow + (size_t)g * segb;
+        // per-channel delta min/max (24-lane accumulators; segb % 24 == 0)
+        int16_t mn[24], mx[24];
+        for (int k = 0; k < 24; ++k) {
+          mn[k] = 32767;
+          mx[k] = -32768;
+        }
+        for (int64_t i = 0; i + 24 <= segb; i += 24) {
+          for (int k = 0; k < 24; ++k) {
+            int16_t d = (int16_t)c[i + k] - (int16_t)p[i + k];
+            if (d < mn[k]) mn[k] = d;
+            if (d > mx[k]) mx[k] = d;
+          }
+        }
+        int16_t cmn[3] = {32767, 32767, 32767};
+        int16_t cmx[3] = {-32768, -32768, -32768};
+        for (int k = 0; k < 24; ++k) {
+          int ch = k % 3;
+          if (mn[k] < cmn[ch]) cmn[ch] = mn[k];
+          if (mx[k] > cmx[ch]) cmx[ch] = mx[k];
+        }
+        int16_t span = 0;
+        for (int ch = 0; ch < 3; ++ch)
+          if (cmx[ch] - cmn[ch] > span) span = (int16_t)(cmx[ch] - cmn[ch]);
+        uint8_t *bias = out_bias + (size_t)seg_i * 3;
+        if (span == 0) {
+          out_cls[seg_i] = 0;
+          for (int ch = 0; ch < 3; ++ch) bias[ch] = (uint8_t)cmn[ch];
+        } else if (span <= 3) {
+          out_cls[seg_i] = 1;
+          uint8_t add12[12];  // (2 - bias) per position, period lcm(3, 4)
+          for (int ch = 0; ch < 3; ++ch) {
+            int16_t b = (int16_t)(cmx[ch] - 1);
+            if (b < 0) b = 0;
+            if (b > cmn[ch] + 2) b = (int16_t)(cmn[ch] + 2);
+            bias[ch] = (uint8_t)b;
+            for (int rep = ch; rep < 12; rep += 3) add12[rep] = (uint8_t)(2 - b);
+          }
+          uint8_t *o = out_p2 + (size_t)k2 * (segb / 4);
+          for (int64_t i = 0; i + 12 <= segb; i += 12, o += 3) {
+            uint8_t v[12];
+            for (int k = 0; k < 12; ++k)
+              v[k] = (uint8_t)((uint8_t)(c[i + k] - p[i + k] + add12[k]) & 3);
+            o[0] = (uint8_t)(v[0] | (uint8_t)(v[1] << 2) |
+                             (uint8_t)(v[2] << 4) | (uint8_t)(v[3] << 6));
+            o[1] = (uint8_t)(v[4] | (uint8_t)(v[5] << 2) |
+                             (uint8_t)(v[6] << 4) | (uint8_t)(v[7] << 6));
+            o[2] = (uint8_t)(v[8] | (uint8_t)(v[9] << 2) |
+                             (uint8_t)(v[10] << 4) | (uint8_t)(v[11] << 6));
+          }
+          ++k2;
+        } else if (span <= 7) {
+          out_cls[seg_i] = 2;
+          uint8_t add[6];
+          for (int ch = 0; ch < 3; ++ch) {
+            int16_t b = (int16_t)(cmx[ch] - 3);
+            if (b < 0) b = 0;
+            if (b > cmn[ch] + 4) b = (int16_t)(cmn[ch] + 4);
+            bias[ch] = (uint8_t)b;
+            add[ch] = add[ch + 3] = (uint8_t)(4 - b);
+          }
+          uint8_t *o = out_p3 + (size_t)k3 * (segb * 3 / 8);
+          uint8_t v[24];
+          for (int64_t i = 0; i + 24 <= segb; i += 24, o += 9) {
+            for (int k = 0; k < 24; ++k)
+              v[k] = (uint8_t)((uint8_t)(c[i + k] - p[i + k] + add[k % 3]) & 7);
+            for (int gg = 0; gg < 3; ++gg) {
+              const uint8_t *w = v + gg * 8;
+              o[gg * 3 + 0] = (uint8_t)(w[0] | (uint8_t)(w[1] << 3) |
+                                        (uint8_t)((w[2] & 3) << 6));
+              o[gg * 3 + 1] =
+                  (uint8_t)((w[2] >> 2) | (uint8_t)(w[3] << 1) |
+                            (uint8_t)(w[4] << 4) | (uint8_t)((w[5] & 1) << 7));
+              o[gg * 3 + 2] = (uint8_t)((w[5] >> 1) | (uint8_t)(w[6] << 2) |
+                                        (uint8_t)(w[7] << 5));
+            }
+          }
+          ++k3;
+        } else {
+          out_cls[seg_i] = 3;
+          bias[0] = bias[1] = bias[2] = 0;
+          std::memcpy(out_raw + (size_t)kr * segb, c, (size_t)segb);
+          ++kr;
+        }
+      }
+    }
+  }
+  out_counts[0] = k2;
+  out_counts[1] = k3;
+  out_counts[2] = kr;
+  return 1;
+}
+
 }  // extern "C"

@@ -142,7 +142,11 @@ def test_batch_stream_delta_matches_raw():
         )
 
     rng = np.random.default_rng(1)
-    base = rng.integers(0, 255, (240, 400, 3), np.uint8)
+    # mid-range base: jitter never clips, so whole segments shift by one
+    # constant -> the per-segment encoder sees const segments (the real
+    # screenshot case); a full-range base would clip in every segment and
+    # the byte comparison would legitimately pick dense tribit instead
+    base = rng.integers(20, 236, (240, 400, 3), np.uint8)
     batches = []
     for _ in range(3):  # nearly-static stream: small jitter per batch
         jit = rng.integers(-4, 5, (1, 1, 3), np.int16)
@@ -162,15 +166,16 @@ def test_batch_stream_delta_matches_raw():
         assert r1 == r2
         assert any(len(d) for d in r1)  # stream actually detected something
     # the stream above must have exercised the delta encoder end to end:
-    # small constant jitter lands in tribit (native) or nibble (numpy
-    # fallback), the repeat in skip, the single-slot repaint in the
+    # small constant jitter lands in the per-segment mode (mostly const
+    # segments), the repeat in skip, the single-slot repaint in the
     # per-slot mode, the first batch in raw
     assert s_delta.mode_counts["raw"] >= 1  # first batch
     assert s_delta.mode_counts["slots"] == 1  # the one-slot repaint
-    assert s_delta.mode_counts["tribit"] + s_delta.mode_counts["nibble"] >= 2
+    assert s_delta.mode_counts["segs"] >= 2
     assert s_delta.mode_counts["skip"] == 1
     assert s_raw.mode_counts == {
-        "raw": 5, "nibble": 0, "tribit": 0, "slots": 0, "skip": 0,
+        "raw": 5, "nibble": 0, "tribit": 0, "slots": 0, "segs": 0,
+        "skip": 0,
     }
 
 
@@ -296,14 +301,116 @@ def test_batch_stream_active_rows_upload_lossless():
         "manual_yolo_tpu.ops.letterbox", fromlist=["letterbox_params"]
     ).letterbox_params((240, 400), (192, 192))
     assert (top, nh) in s_delta._active_progs
-    # A->A constant jitter -> tribit; A->A noisy -> nibble; B->A geometry
-    # switch must NOT use a delta mode (prev_geom gate)
-    from manual_yolo_tpu.runtime import native as native_mod
-
-    if native_mod.get_lib() is not None:
-        assert s_delta.mode_counts["tribit"] >= 1
+    # A->A constant jitter -> segs (mostly const segments); A->A per-pixel
+    # noise -> segment spans ~10 bust both segs' 3-bit ceiling and tribit,
+    # landing in nibble; B->A geometry switch must NOT use a delta mode
+    # (prev_geom gate)
+    assert s_delta.mode_counts["segs"] >= 1
     assert s_delta.mode_counts["nibble"] >= 1
     assert s_delta.mode_counts["raw"] >= 3  # first, tall, and B->A switch
+
+
+def test_seg_encode_native_matches_numpy():
+    """The native seg_encode and its numpy mirror must agree byte-for-byte
+    (payloads, biases, classes, counts) on a stream mixing all four
+    segment classes."""
+    from manual_yolo_tpu.runtime import native as native_mod
+
+    if native_mod.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    B, H, W, segw = 3, 64, 64, 8
+    top, nh = 8, 48
+    prev = rng.integers(0, 256, (B, H, W, 3), np.uint8)
+    cur = prev.copy()
+    act = slice(top, top + nh)
+    # slot 0: +3 constant shift (const segs, clipped pixels -> 2/3-bit);
+    # slot 1: tiny per-pixel noise (2/3-bit); slot 2: repaint (raw)
+    cur[0, act] = np.clip(cur[0, act].astype(np.int16) + 3, 0, 255).astype(np.uint8)
+    cur[1, act] = np.clip(
+        cur[1, act].astype(np.int16) + rng.integers(-2, 3, (nh, W, 3)), 0, 255
+    ).astype(np.uint8)
+    cur[2, top + 10 : top + 30, 10:40] = rng.integers(0, 256, (20, 30, 3), np.uint8)
+
+    nseg = B * nh * (W // segw)
+    segb = segw * 3
+    q2, q3, qr = segb // 4, segb * 3 // 8, segb
+
+    def run(force_numpy):
+        bufs = (
+            np.zeros(nseg * q2, np.uint8), np.zeros(nseg * q3, np.uint8),
+            np.zeros(nseg * qr, np.uint8), np.zeros(nseg * 3, np.uint8),
+            np.zeros(nseg, np.uint8),
+        )
+        counts = native_mod.seg_encode(
+            cur, prev, top, nh, segw, *bufs, force_numpy=force_numpy
+        )
+        return counts, bufs
+
+    cn, bn = run(False)
+    cp, bp = run(True)
+    assert cn == cp and cn is not None
+    k2, k3, kr = cn
+    assert k2 > 0 and k3 > 0 and kr > 0  # all payload classes exercised
+    assert np.bincount(bn[4], minlength=4)[0] > 0  # const segments too
+    for a, b in zip(bn, bp):
+        assert np.array_equal(a, b)
+
+
+def test_batch_stream_segs_mode_lossless_mixed_stream():
+    """The per-segment mode must produce detections identical to raw mode
+    on a MIXED stream — global photometric jitter plus localized repaints
+    in most slots — that defeats both the per-slot mode (too many changed
+    slots) and whole-batch tribit/nibble span tests."""
+    from manual_yolo_tpu.runtime.serving import BatchStream
+
+    det_spec = yolov8.build_spec("detect", "n", nc=64)
+    cls_spec = yolov8.build_spec("classify", "n", nc=13)
+    det_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(0), det_spec), det_spec
+    )
+    cls_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(1), cls_spec), cls_spec
+    )
+
+    def build(delta):
+        return BatchStream(
+            det_params=det_params, det_spec=det_spec,
+            cls_params=cls_params, cls_spec=cls_spec,
+            names=taxonomy.CLASSES, rank_names={i: str(i) for i in range(13)},
+            batch=8, imgsz=192, conf=1e-6, compute_dtype=jnp.float32,
+            use_pallas_nms=False, delta=delta,
+        )
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 255, (240, 400, 3), np.uint8)
+
+    def jittered():
+        j = rng.integers(-4, 5, (1, 1, 3), np.int16)
+        return np.clip(base.astype(np.int16) + j, 0, 255).astype(np.uint8)
+
+    batches = [[jittered() for _ in range(8)] for _ in range(3)]
+    mixed = [f.copy() for f in batches[-1]]
+    for i in range(6):  # 6 of 8 slots repainted: slots mode can't engage
+        mixed[i][40:80, 100 + 10 * i : 180 + 10 * i] = (
+            255 - mixed[i][40:80, 100 + 10 * i : 180 + 10 * i]
+        )
+    batches.append(mixed)
+
+    s_raw, s_delta = build(False), build(True)
+    for b in batches:
+        s_raw.submit_batch(b)
+        s_delta.submit_batch(b)
+        r1 = s_raw.collect_batch()
+        r2 = s_delta.collect_batch()
+        assert r1 == r2
+        assert any(len(d) for d in r1)
+    # jitter-only batches AND the mixed batch all land in segs — the mixed
+    # one required raw-class segments for the repaints, same program
+    assert s_delta.mode_counts["segs"] >= 3
+    assert s_delta.mode_counts["raw"] == 1  # first batch only
+    s_raw.close()
+    s_delta.close()
 
 
 def test_serve_cli_fleet_end_to_end(tmp_path):
