@@ -209,6 +209,7 @@ def run_measurement():
                 "compute_only_fps": round(compute_fps, 2),
                 "static_stream_fps": round(static_fps, 2),
                 "delta_modes": dict(stream.mode_counts),
+                "crop_modes": dict(stream.crop_mode_counts),
                 **link,
             }
         )

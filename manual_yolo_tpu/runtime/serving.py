@@ -239,6 +239,118 @@ class StreamingEngine:
         return self.poll()
 
 
+def _segs_decoder(nslots, H, W, top, nh, segw, Np, pad_value=114):
+    """Build the device-side decoder for a per-segment multi-class delta
+    payload (exact mirror of native seg_encode + the host assembly in
+    ``BatchStream._assemble_segs_payload``). The returned traced function
+    maps (payload_u8, prev_flat_u8) -> the (nslots*H*W*3,) uint8 current
+    plane, bit-exactly. Class boundaries inside the payload are DYNAMIC
+    (cumsum ranks over the class array), so one compiled program per
+    payload-size bucket serves every mix of const/2-bit/3-bit/raw
+    segments; all three payload gathers are row-aligned slices
+    (scatter-free, embedding-lookup shaped). Rows outside [top, top+nh)
+    are constant ``pad_value`` (the letterbox bars for the canvas plane;
+    unused when nh == H)."""
+    import jax
+    import jax.numpy as jnp
+
+    segb = segw * 3
+    q2, q3, qr = segb // 4, segb * 3 // 8, segb
+    nseg = nslots * nh * (W // segw)
+    bot = H - top - nh
+    u = jnp.uint8
+
+    def decode(payload_u8, prev_flat_u8):
+        # payload layout: [2-bit block | pad to %q3 | 3-bit block |
+        # pad to %qr | raw block | zero pad to Np | bias (nseg*3) |
+        # cls 2-bit packed (nseg/4)]
+        bits = payload_u8[:Np]
+        bias = payload_u8[Np : Np + nseg * 3].reshape(nseg, 3)
+        clsp = payload_u8[Np + nseg * 3 :]
+        cls = jnp.stack(
+            [
+                jnp.bitwise_and(clsp, u(3)),
+                jnp.bitwise_and(jnp.right_shift(clsp, u(2)), u(3)),
+                jnp.bitwise_and(jnp.right_shift(clsp, u(4)), u(3)),
+                jnp.right_shift(clsp, u(6)),
+            ],
+            axis=-1,
+        ).reshape(-1).astype(jnp.int32)
+        is2, is3, isr = cls == 1, cls == 2, cls == 3
+        # rank of each segment within its class == its payload slot
+        # (host appends per class in the same scan order)
+        r2 = jnp.cumsum(is2.astype(jnp.int32)) - 1
+        r3 = jnp.cumsum(is3.astype(jnp.int32)) - 1
+        rr = jnp.cumsum(isr.astype(jnp.int32)) - 1
+        k2 = jnp.sum(is2.astype(jnp.int32))
+        k3 = jnp.sum(is3.astype(jnp.int32))
+        b2p = ((q2 * k2 + q3 - 1) // q3) * q3
+        b23p = ((b2p + q3 * k3 + qr - 1) // qr) * qr
+        # decode the WHOLE payload under each packing (cheap vector ops);
+        # block alignment makes every segment's values land on a whole
+        # decoded row: 2-bit rows from byte 0, 3-bit rows from b2p
+        # (multiple of q3), raw rows from b23p (multiple of qr)
+        d2 = jnp.stack(
+            [
+                jnp.bitwise_and(bits, u(3)),
+                jnp.bitwise_and(jnp.right_shift(bits, u(2)), u(3)),
+                jnp.bitwise_and(jnp.right_shift(bits, u(4)), u(3)),
+                jnp.right_shift(bits, u(6)),
+            ],
+            axis=-1,
+        ).reshape(-1, segb)
+        b3 = bits.reshape(-1, 3)
+        c0, c1, c2 = b3[:, 0], b3[:, 1], b3[:, 2]
+        d3 = jnp.stack(
+            [
+                jnp.bitwise_and(c0, u(7)),
+                jnp.bitwise_and(jnp.right_shift(c0, u(3)), u(7)),
+                jnp.bitwise_or(
+                    jnp.right_shift(c0, u(6)),
+                    jnp.left_shift(jnp.bitwise_and(c1, u(1)), u(2)),
+                ),
+                jnp.bitwise_and(jnp.right_shift(c1, u(1)), u(7)),
+                jnp.bitwise_and(jnp.right_shift(c1, u(4)), u(7)),
+                jnp.bitwise_or(
+                    jnp.right_shift(c1, u(7)),
+                    jnp.left_shift(jnp.bitwise_and(c2, u(3)), u(1)),
+                ),
+                jnp.bitwise_and(jnp.right_shift(c2, u(2)), u(7)),
+                jnp.right_shift(c2, u(5)),
+            ],
+            axis=-1,
+        ).reshape(-1, segb)
+        draw = bits.reshape(-1, segb)
+        g2 = jnp.take(d2, jnp.where(is2, r2, 0), axis=0)
+        g3 = jnp.take(d3, jnp.where(is3, b2p // q3 + r3, 0), axis=0)
+        gr = jnp.take(draw, jnp.where(isr, b23p // qr + rr, 0), axis=0)
+        prev = prev_flat_u8.reshape(nslots, H, W, 3)
+        pact = jax.lax.slice_in_dim(prev, top, top + nh, axis=1).reshape(
+            nseg, segb
+        )
+        biasx = jnp.broadcast_to(bias[:, None, :], (nseg, segw, 3)).reshape(
+            nseg, segb
+        )
+        delta = (
+            jnp.where(
+                is2[:, None], g2 - u(2),
+                jnp.where(is3[:, None], g3 - u(4), u(0)),
+            )
+            + biasx
+        )  # uint8 wraparound -> bit-exact
+        newseg = jnp.where(isr[:, None], gr, pact + delta)
+        act = newseg.reshape(nslots, nh, W, 3)
+        if nh == H:
+            return act.reshape(-1)
+        canv = jnp.pad(
+            act, ((0, 0), (top, bot), (0, 0), (0, 0)),
+            constant_values=np.uint8(pad_value),
+        )
+        return canv.reshape(-1)
+
+    return decode
+
+
 class BatchStream:
     """Batched throughput pipeline: amortise tunnel round trips over B frames.
 
@@ -451,6 +563,16 @@ class BatchStream:
         self._detect_skip = jax.jit(detect_skip)
         self._classify = jax.jit(classify_batch)
         self._detect_core = detect_core
+        self._classify_core = classify_batch
+        # crop-plane delta state (worker thread only): previous batch's
+        # classifier crops on host (encode reference) and device (decode
+        # reference) — the crop upload was half the link bytes once the
+        # canvas went per-segment
+        self._prev_crops: Optional[np.ndarray] = None
+        self._dev_prev_crops = None
+        self._crop_segs_bufs: Optional[Dict] = None
+        self._classify_segs_progs: Dict[int, object] = {}
+        self.crop_mode_counts = {"raw": 0, "segs": 0, "skip": 0}
         # active-rows program cache: (top, nh) -> (raw_fn, nibble_fn)
         self._active_progs: Dict[Tuple[int, int], Tuple] = {}
         # delta scratch per active-height (contiguous, so reshape(-1) on the
@@ -681,115 +803,110 @@ class BatchStream:
         return self._slots_progs[key]
 
     def _get_segs_prog(self, top: int, nh: int, np_bucket: int):
-        """Per-SEGMENT decode program: class boundaries inside the payload
-        are DYNAMIC (cumsum ranks over the class array), so one compiled
-        program per (geometry, payload-size bucket) serves every mix of
-        const/2-bit/3-bit/raw segments. All three payload gathers are
-        row-aligned slices (scatter-free, embedding-lookup shaped)."""
+        """Canvas-plane segs program: shared decoder (_segs_decoder) fused
+        into the detect program, one compile per (geometry, size bucket)."""
         key = (top, nh, np_bucket)
         if key not in self._segs_progs:
             import jax
-            import jax.numpy as jnp
 
-            B, imgsz = self.B, self.imgsz
-            bot = imgsz - top - nh
-            segw = imgsz // 8
-            segb = segw * 3
-            q2, q3, qr = segb // 4, segb * 3 // 8, segb
-            nseg = B * nh * 8
-            Np = np_bucket
+            decode = _segs_decoder(
+                self.B, self.imgsz, self.imgsz, top, nh, self.imgsz // 8,
+                np_bucket,
+            )
             detect_core = self._detect_core
-            u = jnp.uint8
 
             def segs_active(params, payload_u8, prev_flat_u8):
-                # payload layout (host mirror in _encode_segs):
-                #   [2-bit block | pad to %q3 | 3-bit block | pad to %qr |
-                #    raw block | zero pad to Np | bias (nseg*3) |
-                #    cls 2-bit packed (nseg/4)]
-                bits = payload_u8[:Np]
-                bias = payload_u8[Np : Np + nseg * 3].reshape(nseg, 3)
-                clsp = payload_u8[Np + nseg * 3 :]
-                cls = jnp.stack(
-                    [
-                        jnp.bitwise_and(clsp, u(3)),
-                        jnp.bitwise_and(jnp.right_shift(clsp, u(2)), u(3)),
-                        jnp.bitwise_and(jnp.right_shift(clsp, u(4)), u(3)),
-                        jnp.right_shift(clsp, u(6)),
-                    ],
-                    axis=-1,
-                ).reshape(-1).astype(jnp.int32)
-                is2, is3, isr = cls == 1, cls == 2, cls == 3
-                # rank of each segment within its class == its payload slot
-                # (host appends per class in the same scan order)
-                r2 = jnp.cumsum(is2.astype(jnp.int32)) - 1
-                r3 = jnp.cumsum(is3.astype(jnp.int32)) - 1
-                rr = jnp.cumsum(isr.astype(jnp.int32)) - 1
-                k2 = jnp.sum(is2.astype(jnp.int32))
-                k3 = jnp.sum(is3.astype(jnp.int32))
-                b2p = ((q2 * k2 + q3 - 1) // q3) * q3
-                b23p = ((b2p + q3 * k3 + qr - 1) // qr) * qr
-                # decode the WHOLE payload under each packing (cheap vector
-                # ops); block alignment makes every segment's values land on
-                # a whole decoded row: 2-bit rows from byte 0, 3-bit rows
-                # from b2p (multiple of q3), raw rows from b23p (mult of qr)
-                d2 = jnp.stack(
-                    [
-                        jnp.bitwise_and(bits, u(3)),
-                        jnp.bitwise_and(jnp.right_shift(bits, u(2)), u(3)),
-                        jnp.bitwise_and(jnp.right_shift(bits, u(4)), u(3)),
-                        jnp.right_shift(bits, u(6)),
-                    ],
-                    axis=-1,
-                ).reshape(-1, segb)
-                b3 = bits.reshape(-1, 3)
-                c0, c1, c2 = b3[:, 0], b3[:, 1], b3[:, 2]
-                d3 = jnp.stack(
-                    [
-                        jnp.bitwise_and(c0, u(7)),
-                        jnp.bitwise_and(jnp.right_shift(c0, u(3)), u(7)),
-                        jnp.bitwise_or(
-                            jnp.right_shift(c0, u(6)),
-                            jnp.left_shift(jnp.bitwise_and(c1, u(1)), u(2)),
-                        ),
-                        jnp.bitwise_and(jnp.right_shift(c1, u(1)), u(7)),
-                        jnp.bitwise_and(jnp.right_shift(c1, u(4)), u(7)),
-                        jnp.bitwise_or(
-                            jnp.right_shift(c1, u(7)),
-                            jnp.left_shift(jnp.bitwise_and(c2, u(3)), u(1)),
-                        ),
-                        jnp.bitwise_and(jnp.right_shift(c2, u(2)), u(7)),
-                        jnp.right_shift(c2, u(5)),
-                    ],
-                    axis=-1,
-                ).reshape(-1, segb)
-                draw = bits.reshape(-1, segb)
-                g2 = jnp.take(d2, jnp.where(is2, r2, 0), axis=0)
-                g3 = jnp.take(d3, jnp.where(is3, b2p // q3 + r3, 0), axis=0)
-                gr = jnp.take(draw, jnp.where(isr, b23p // qr + rr, 0), axis=0)
-                prev = prev_flat_u8.reshape(B, imgsz, imgsz, 3)
-                pact = jax.lax.slice_in_dim(
-                    prev, top, top + nh, axis=1
-                ).reshape(nseg, segb)
-                biasx = jnp.broadcast_to(
-                    bias[:, None, :], (nseg, segw, 3)
-                ).reshape(nseg, segb)
-                delta = (
-                    jnp.where(
-                        is2[:, None], g2 - u(2),
-                        jnp.where(is3[:, None], g3 - u(4), u(0)),
-                    )
-                    + biasx
-                )  # uint8 wraparound -> bit-exact
-                newseg = jnp.where(isr[:, None], gr, pact + delta)
-                act = newseg.reshape(B, nh, imgsz, 3)
-                canv = jnp.pad(
-                    act, ((0, 0), (top, bot), (0, 0), (0, 0)),
-                    constant_values=np.uint8(114),
-                )
-                return detect_core(params, canv.reshape(-1))
+                return detect_core(params, decode(payload_u8, prev_flat_u8))
 
             self._segs_progs[key] = jax.jit(segs_active)
         return self._segs_progs[key]
+
+    def _get_classify_segs_prog(self, np_bucket: int):
+        """Crop-plane segs program: decode the crop delta against the
+        device-resident previous crops, classify, and return BOTH the
+        probabilities and the decoded crop plane (the next batch's delta
+        reference). Saves the 3.1 MB/batch crop upload — after the canvas
+        delta work that upload had become HALF the link bytes."""
+        key = np_bucket
+        if key not in self._classify_segs_progs:
+            import jax
+
+            decode = _segs_decoder(
+                self.B * self.max_rank, 64, 64, 0, 64, 64, np_bucket
+            )
+            classify_core = self._classify_core
+
+            def classify_segs(params, payload_u8, prev_flat_u8):
+                cur = decode(payload_u8, prev_flat_u8)
+                return classify_core(params, cur), cur
+
+            self._classify_segs_progs[key] = jax.jit(classify_segs)
+        return self._classify_segs_progs[key]
+
+    def _encode_crop_segs(self, crops: np.ndarray):
+        """Segs-encode the (B*max_rank, 64, 64, 3) crop plane against the
+        previous batch's crops (full-row segments: 64 px keeps the
+        bias+class overhead at ~1.7 % of the raw plane). Returns
+        (payload_view, np_bucket) or None -> upload raw."""
+        ns, ch, cw, _ = crops.shape
+        segw = cw  # one segment per row
+        segb = segw * 3
+        q2, q3, qr = segb // 4, segb * 3 // 8, segb
+        nseg = ns * ch
+        raw_bytes = ns * ch * cw * 3
+        bufs = self._crop_segs_bufs
+        if bufs is None:
+            lcm = int(np.lcm.reduce([q2, q3, qr]))
+            step = lcm * max(1, min(1024, raw_bytes // (8 * lcm)))
+            cap = ((raw_bytes // 2 + step - 1) // step) * step + nseg * 3 + nseg // 4
+            bufs = self._crop_segs_bufs = {
+                "p2": np.zeros(nseg * q2, np.uint8),
+                "p3": np.zeros(nseg * q3, np.uint8),
+                "raw": np.zeros(nseg * qr, np.uint8),
+                "bias": np.zeros(nseg * 3, np.uint8),
+                "cls": np.zeros(nseg, np.uint8),
+                # single buffer: the worker thread's device_put blocks until
+                # the transfer completes, so no rotation is needed here
+                "pay": [np.zeros(cap, np.uint8)],
+                "step": step,
+            }
+        counts = native.seg_encode(
+            crops, self._prev_crops, 0, ch, segw,
+            bufs["p2"], bufs["p3"], bufs["raw"], bufs["bias"], bufs["cls"],
+        )
+        if counts is None:
+            return None
+        return self._assemble_segs_payload(
+            bufs, 0, counts, (q2, q3, qr), nseg, raw_bytes
+        )
+
+    def _assemble_segs_payload(self, bufs, pay_i, counts, qs, nseg, raw_bytes):
+        """Lay out [p2 | p3 | raw | pad | bias | cls] in one flat buffer
+        (class blocks aligned so the device decoder's rows land exactly).
+        Returns (payload_view, np_bucket) or None when not beneficial."""
+        q2, q3, qr = qs
+        k2, k3, kr = counts
+        b2p = ((q2 * k2 + q3 - 1) // q3) * q3  # 3-bit block start: % q3 == 0
+        b23p = ((b2p + q3 * k3 + qr - 1) // qr) * qr  # raw block: % qr == 0
+        used = b23p + qr * kr
+        step = bufs["step"]
+        np_bucket = max(step, ((used + step - 1) // step) * step)
+        total = np_bucket + nseg * 3 + nseg // 4
+        if total >= raw_bytes // 2:  # nibble/raw would be no worse
+            return None
+        pay = bufs["pay"][pay_i]
+        pay[: q2 * k2] = bufs["p2"][: q2 * k2]
+        pay[q2 * k2 : b2p] = 0
+        pay[b2p : b2p + q3 * k3] = bufs["p3"][: q3 * k3]
+        pay[b2p + q3 * k3 : b23p] = 0
+        pay[b23p:used] = bufs["raw"][: qr * kr]
+        pay[used:np_bucket] = 0  # bucket pad: zeros compress in transit
+        pay[np_bucket : np_bucket + nseg * 3] = bufs["bias"]
+        cls = bufs["cls"]
+        pay[np_bucket + nseg * 3 : total] = (
+            cls[0::4] | cls[1::4] << 2 | cls[2::4] << 4 | cls[3::4] << 6
+        )
+        return pay[:total], np_bucket
 
     def _encode_segs(self, staging: np.ndarray, top: int, nh: int):
         """Build the segs-mode payload over the active rows. Returns
@@ -830,28 +947,9 @@ class BatchStream:
         )
         if counts is None:
             return None
-        k2, k3, kr = counts
-        b2p = ((q2 * k2 + q3 - 1) // q3) * q3  # 3-bit block start: % q3 == 0
-        b23p = ((b2p + q3 * k3 + qr - 1) // qr) * qr  # raw block: % qr == 0
-        used = b23p + qr * kr
-        step = bufs["step"]
-        np_bucket = max(step, ((used + step - 1) // step) * step)
-        total = np_bucket + nseg * 3 + nseg // 4
-        if total >= raw_act // 2:  # nibble/raw would be no worse
-            return None
-        pay = bufs["pay"][self._staging_i % 4]
-        pay[: q2 * k2] = bufs["p2"][: q2 * k2]
-        pay[q2 * k2 : b2p] = 0
-        pay[b2p : b2p + q3 * k3] = bufs["p3"][: q3 * k3]
-        pay[b2p + q3 * k3 : b23p] = 0
-        pay[b23p:used] = bufs["raw"][: qr * kr]
-        pay[used:np_bucket] = 0  # bucket pad: zeros compress in transit
-        pay[np_bucket : np_bucket + nseg * 3] = bufs["bias"]
-        cls = bufs["cls"]
-        pay[np_bucket + nseg * 3 : total] = (
-            cls[0::4] | cls[1::4] << 2 | cls[2::4] << 4 | cls[3::4] << 6
+        return self._assemble_segs_payload(
+            bufs, self._staging_i % 4, counts, (q2, q3, qr), nseg, raw_act
         )
-        return pay[:total], np_bucket
 
     def _batch_geom(self, metas) -> Optional[Tuple[int, int]]:
         """(top, nh) when every slot letterboxed to the SAME full-width
@@ -1163,7 +1261,7 @@ class BatchStream:
 
         if crop_refs:
             probs = np.asarray(
-                self._classify(self.cls_params, jnp.asarray(crops.reshape(-1)))
+                self._classify_crops(crops)
             ).reshape(self.B * self.max_rank, -1)
             for slot, (bi, di) in crop_refs:
                 t = int(np.argmax(probs[slot]))
@@ -1177,6 +1275,39 @@ class BatchStream:
                         cleaned if cleaned in VALID_CARD_RANKS else pred.upper()
                     )
         return results
+
+    def _classify_crops(self, crops: np.ndarray):
+        """Classify the gathered rank crops, streaming the crop plane as a
+        DELTA against the previous batch's (worker thread only — the chain
+        is sequential by construction): skip when byte-identical, segs
+        payload when the encoding wins, raw otherwise. Lossless; the
+        classifier sees bit-identical crops in every mode."""
+        import jax.numpy as jnp
+
+        flat = crops.reshape(-1)
+        if self.delta and self._prev_crops is not None:
+            if np.array_equal(crops, self._prev_crops):
+                self.crop_mode_counts["skip"] += 1
+                return self._classify(self.cls_params, self._dev_prev_crops)
+            enc = self._encode_crop_segs(crops)
+            if enc is not None:
+                payload, npb = enc
+                self.crop_mode_counts["segs"] += 1
+                probs, dev_crops = self._get_classify_segs_prog(npb)(
+                    self.cls_params, jnp.asarray(payload), self._dev_prev_crops
+                )
+                self._dev_prev_crops = dev_crops
+                # crops is freshly allocated per batch and never mutated
+                # after classification -> safe to keep by reference
+                self._prev_crops = crops
+                return probs
+        self.crop_mode_counts["raw"] += 1
+        dev_crops = jnp.asarray(flat)
+        probs = self._classify(self.cls_params, dev_crops)
+        if self.delta:
+            self._dev_prev_crops = dev_crops
+            self._prev_crops = crops
+        return probs
 
     @property
     def in_flight(self) -> int:

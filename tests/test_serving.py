@@ -409,8 +409,78 @@ def test_batch_stream_segs_mode_lossless_mixed_stream():
     # one required raw-class segments for the repaints, same program
     assert s_delta.mode_counts["segs"] >= 3
     assert s_delta.mode_counts["raw"] == 1  # first batch only
+    # the classifier-crop plane streamed through the delta ladder (on this
+    # unstable-box noise content it legitimately lands in raw; the segs and
+    # skip rungs are covered by test_classify_crop_segs_program_bit_exact)
+    assert sum(s_delta.crop_mode_counts.values()) >= 1
     s_raw.close()
     s_delta.close()
+
+
+def test_classify_crop_segs_program_bit_exact():
+    """The crop-plane segs program must hand the classifier a BIT-EXACT
+    reconstruction of the crops (decoded plane == host crops) and produce
+    the same probabilities as a raw upload."""
+    from manual_yolo_tpu.runtime.serving import BatchStream
+
+    det_spec = yolov8.build_spec("detect", "n", nc=64)
+    cls_spec = yolov8.build_spec("classify", "n", nc=13)
+    det_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(0), det_spec), det_spec
+    )
+    cls_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(1), cls_spec), cls_spec
+    )
+    s = BatchStream(
+        det_params=det_params, det_spec=det_spec,
+        cls_params=cls_params, cls_spec=cls_spec,
+        names=taxonomy.CLASSES, rank_names={i: str(i) for i in range(13)},
+        batch=2, imgsz=192, conf=1e-6, compute_dtype=jnp.float32,
+        use_pallas_nms=False,
+    )
+    rng = np.random.default_rng(9)
+    ns = s.B * s.max_rank
+    prev = rng.integers(30, 220, (ns, 64, 64, 3), np.uint8)
+    cur = prev.copy()
+    cur[:4] = np.clip(cur[:4].astype(np.int16) + 3, 0, 255).astype(np.uint8)
+    cur[4] = rng.integers(0, 256, (64, 64, 3), np.uint8)  # raw rows
+    cur[5, 10:20] = np.clip(
+        cur[5, 10:20].astype(np.int16) + rng.integers(-2, 3, (10, 64, 3)),
+        0, 255,
+    ).astype(np.uint8)
+
+    s._prev_crops = prev
+    s._dev_prev_crops = jnp.asarray(prev.reshape(-1))
+    enc = s._encode_crop_segs(cur)
+    assert enc is not None
+    payload, npb = enc
+    assert len(payload) < cur.nbytes // 2
+    probs_d, dev_crops = s._get_classify_segs_prog(npb)(
+        s.cls_params, jnp.asarray(payload), s._dev_prev_crops
+    )
+    assert np.array_equal(
+        np.asarray(dev_crops).reshape(cur.shape), cur
+    )  # lossless reconstruction
+    probs_raw = s._classify(s.cls_params, jnp.asarray(cur.reshape(-1)))
+    assert np.array_equal(np.asarray(probs_d), np.asarray(probs_raw))
+
+    # the _classify_crops mode ladder: raw (no reference) -> segs (const
+    # shift) -> skip (identical crops), probabilities equal throughout
+    s._prev_crops = None
+    s._dev_prev_crops = None
+    p0 = np.asarray(s._classify_crops(prev))
+    shifted = np.clip(prev.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+    p1 = np.asarray(s._classify_crops(shifted))
+    p2 = np.asarray(s._classify_crops(shifted.copy()))
+    assert s.crop_mode_counts["raw"] >= 1
+    assert s.crop_mode_counts["segs"] >= 1
+    assert s.crop_mode_counts["skip"] >= 1
+    assert np.array_equal(
+        p1, np.asarray(s._classify(s.cls_params, jnp.asarray(shifted.reshape(-1))))
+    )
+    assert np.array_equal(p1, p2)
+    assert not np.array_equal(p0, p1)
+    s.close()
 
 
 def test_serve_cli_fleet_end_to_end(tmp_path):
