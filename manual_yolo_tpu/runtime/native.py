@@ -96,7 +96,7 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
         ]
         _lib = lib
         return lib
@@ -270,8 +270,8 @@ def tribit_encode(
     return bool(ok)
 
 
-def _seg_encode_numpy(cur_act, prev_act, segw, out_p2, out_p3, out_raw,
-                      out_bias, out_cls):
+def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
+                      out_raw, out_bias, out_cls):
     """Vectorized numpy mirror of the native seg_encode (same byte layout);
     the test oracle and the no-toolchain fallback."""
     B, nh, W, _ = cur_act.shape
@@ -282,25 +282,37 @@ def _seg_encode_numpy(cur_act, prev_act, segw, out_p2, out_p3, out_raw,
     dmx = ds.max(axis=1)  # (nseg, 3)
     dmn = ds.min(axis=1)
     span = (dmx - dmn).max(axis=1)  # (nseg,)
-    cls = np.where(span == 0, 0, np.where(span <= 3, 1, np.where(span <= 7, 2, 3)))
+    cls = np.select(
+        [span == 0, span <= 1, span <= 3, span <= 7],
+        [0, 1, 2, 3], 4,
+    )
     out_cls[: cls.size] = cls.astype(np.uint8)
-    # biases: const -> the delta itself; 2/3-bit -> clipped toward 0; raw -> 0
+    # biases: const -> the delta itself; 1/2/3-bit -> clipped toward 0;
+    # raw -> 0
+    b1 = np.minimum(np.maximum(0, dmx - 1), dmn)
     b2 = np.minimum(np.maximum(0, dmx - 1), dmn + 2)
     b3 = np.minimum(np.maximum(0, dmx - 3), dmn + 4)
     bias = np.select(
-        [cls[:, None] == 0, cls[:, None] == 1, cls[:, None] == 2],
-        [dmn, b2, b3], 0,
+        [cls[:, None] == 0, cls[:, None] == 1, cls[:, None] == 2,
+         cls[:, None] == 3],
+        [dmn, b1, b2, b3], 0,
     ).astype(np.int16)
     out_bias[: cls.size * 3] = (bias.reshape(-1) % 256).astype(np.uint8)
     vflat = ds - bias[:, None, :]  # residuals per segment
-    m1, m2, m3 = cls == 1, cls == 2, cls == 3
-    k2, k3, kr = int(m1.sum()), int(m2.sum()), int(m3.sum())
+    m1, m2, m3, m4 = cls == 1, cls == 2, cls == 3, cls == 4
+    k1, k2, k3, kr = (int(m.sum()) for m in (m1, m2, m3, m4))
+    if k1:
+        v = (vflat[m1].reshape(k1, -1, 8) & 1).astype(np.uint8)
+        p = (v[..., 0] | v[..., 1] << 1 | v[..., 2] << 2 | v[..., 3] << 3
+             | v[..., 4] << 4 | v[..., 5] << 5 | v[..., 6] << 6
+             | v[..., 7] << 7)
+        out_p1[: k1 * segb // 8] = p.reshape(-1)
     if k2:
-        v = ((vflat[m1] + 2).reshape(k2, -1) & 3).astype(np.uint8)
+        v = ((vflat[m2] + 2).reshape(k2, -1) & 3).astype(np.uint8)
         p = (v[:, 0::4] | v[:, 1::4] << 2 | v[:, 2::4] << 4 | v[:, 3::4] << 6)
         out_p2[: k2 * segb // 4] = p.reshape(-1)
     if k3:
-        v = ((vflat[m2] + 4).reshape(k3, -1, 8) & 7).astype(np.uint8)
+        v = ((vflat[m3] + 4).reshape(k3, -1, 8) & 7).astype(np.uint8)
         o = np.empty((k3, v.shape[1], 3), np.uint8)
         o[..., 0] = v[..., 0] | v[..., 1] << 3 | (v[..., 2] & 3) << 6
         o[..., 1] = (v[..., 2] >> 2 | v[..., 3] << 1 | v[..., 4] << 4
@@ -309,9 +321,9 @@ def _seg_encode_numpy(cur_act, prev_act, segw, out_p2, out_p3, out_raw,
         out_p3[: k3 * segb * 3 // 8] = o.reshape(-1)
     if kr:
         out_raw[: kr * segb] = (
-            cur_act.reshape(B * nh * seg, segb)[m3].reshape(-1)
+            cur_act.reshape(B * nh * seg, segb)[m4].reshape(-1)
         )
-    return k2, k3, kr
+    return k1, k2, k3, kr
 
 
 def seg_encode(
@@ -320,6 +332,7 @@ def seg_encode(
     top: int,
     nh: int,
     segw: int,
+    out_p1: np.ndarray,
     out_p2: np.ndarray,
     out_p3: np.ndarray,
     out_raw: np.ndarray,
@@ -329,9 +342,9 @@ def seg_encode(
 ):
     """Per-segment multi-class delta encoder over rows [top, top+nh) of
     (B, H, W, 3) uint8 canvases: each segw-pixel segment is classified
-    const / 2-bit / 3-bit / raw and its payload appended densely per class
-    in scan order. Returns (n_2bit, n_3bit, n_raw), or None when
-    segw is unusable (not a multiple of 8 / not a divisor of W)."""
+    const / 1-bit / 2-bit / 3-bit / raw and its payload appended densely
+    per class in scan order. Returns (n_1bit, n_2bit, n_3bit, n_raw), or
+    None when segw is unusable (not a multiple of 8 / not a divisor of W)."""
     B, H, W, _ = cur.shape
     if segw % 8 != 0 or W % segw != 0:
         return None
@@ -340,19 +353,19 @@ def seg_encode(
     if lib is None:
         return _seg_encode_numpy(
             cur[:, top : top + nh], prev[:, top : top + nh], segw,
-            out_p2, out_p3, out_raw, out_bias, out_cls,
+            out_p1, out_p2, out_p3, out_raw, out_bias, out_cls,
         )
     off = top * W * 3
-    counts = (ctypes.c_int64 * 3)()
+    counts = (ctypes.c_int64 * 4)()
     ok = lib.seg_encode(
         cur.ctypes.data + off, prev.ctypes.data + off, B, nh, W,
-        H * W * 3, segw, out_p2.ctypes.data, out_p3.ctypes.data,
-        out_raw.ctypes.data, out_bias.ctypes.data, out_cls.ctypes.data,
-        ctypes.addressof(counts),
+        H * W * 3, segw, out_p1.ctypes.data, out_p2.ctypes.data,
+        out_p3.ctypes.data, out_raw.ctypes.data, out_bias.ctypes.data,
+        out_cls.ctypes.data, ctypes.addressof(counts),
     )
     if not ok:
         return None
-    return int(counts[0]), int(counts[1]), int(counts[2])
+    return int(counts[0]), int(counts[1]), int(counts[2]), int(counts[3])
 
 
 def crop_u8(img: np.ndarray, y1: int, x1: int, y2: int, x2: int) -> np.ndarray:

@@ -246,50 +246,78 @@ def _segs_decoder(nslots, H, W, top, nh, segw, Np, pad_value=114):
     maps (payload_u8, prev_flat_u8) -> the (nslots*H*W*3,) uint8 current
     plane, bit-exactly. Class boundaries inside the payload are DYNAMIC
     (cumsum ranks over the class array), so one compiled program per
-    payload-size bucket serves every mix of const/2-bit/3-bit/raw
-    segments; all three payload gathers are row-aligned slices
-    (scatter-free, embedding-lookup shaped). Rows outside [top, top+nh)
-    are constant ``pad_value`` (the letterbox bars for the canvas plane;
-    unused when nh == H)."""
+    payload-size bucket serves every mix of const/1-bit/2-bit/3-bit/raw
+    segments; all payload gathers are row-aligned slices (scatter-free,
+    embedding-lookup shaped). Biases ride compressed: a 3-byte default per
+    SLOT plus a 1-bit per-segment flag and dense exception triples for the
+    segments (clip-boundary ones) whose bias differs from their slot's.
+    Rows outside [top, top+nh) are constant ``pad_value`` (the letterbox
+    bars for the canvas plane; unused when nh == H)."""
     import jax
     import jax.numpy as jnp
 
     segb = segw * 3
-    q2, q3, qr = segb // 4, segb * 3 // 8, segb
+    q1, q2, q3, qr = segb // 8, segb // 4, segb * 3 // 8, segb
     nseg = nslots * nh * (W // segw)
+    segs_per_slot = nh * (W // segw)
+    nfl = (nseg + 7) // 8
+    ncl = (nseg + 1) // 2
     bot = H - top - nh
     u = jnp.uint8
 
     def decode(payload_u8, prev_flat_u8):
-        # payload layout: [2-bit block | pad to %q3 | 3-bit block |
-        # pad to %qr | raw block | zero pad to Np | bias (nseg*3) |
-        # cls 2-bit packed (nseg/4)]
+        # payload layout: [1-bit block | pad %q2 | 2-bit block | pad %q3 |
+        # 3-bit block | pad %qr | raw block | bias exceptions (3/seg) |
+        # zero pad to Np | slot bias defaults (nslots*3) |
+        # default-bias flags (nseg/8, bit i of byte j = seg 8j+i) |
+        # cls 4-bit packed (nseg/2)]
         bits = payload_u8[:Np]
-        bias = payload_u8[Np : Np + nseg * 3].reshape(nseg, 3)
-        clsp = payload_u8[Np + nseg * 3 :]
+        o = Np
+        slot_bias = payload_u8[o : o + nslots * 3].reshape(nslots, 3)
+        o += nslots * 3
+        flp = payload_u8[o : o + nfl]
+        o += nfl
+        clsp = payload_u8[o : o + ncl]
         cls = jnp.stack(
+            [jnp.bitwise_and(clsp, u(0xF)), jnp.right_shift(clsp, u(4))],
+            axis=-1,
+        ).reshape(-1)[:nseg].astype(jnp.int32)
+        flag = jnp.stack(
             [
-                jnp.bitwise_and(clsp, u(3)),
-                jnp.bitwise_and(jnp.right_shift(clsp, u(2)), u(3)),
-                jnp.bitwise_and(jnp.right_shift(clsp, u(4)), u(3)),
-                jnp.right_shift(clsp, u(6)),
+                jnp.bitwise_and(jnp.right_shift(flp, u(k)), u(1))
+                for k in range(8)
             ],
             axis=-1,
-        ).reshape(-1).astype(jnp.int32)
-        is2, is3, isr = cls == 1, cls == 2, cls == 3
+        ).reshape(-1)[:nseg].astype(bool)
+        is1, is2, is3, isr = cls == 1, cls == 2, cls == 3, cls == 4
         # rank of each segment within its class == its payload slot
         # (host appends per class in the same scan order)
-        r2 = jnp.cumsum(is2.astype(jnp.int32)) - 1
-        r3 = jnp.cumsum(is3.astype(jnp.int32)) - 1
-        rr = jnp.cumsum(isr.astype(jnp.int32)) - 1
-        k2 = jnp.sum(is2.astype(jnp.int32))
-        k3 = jnp.sum(is3.astype(jnp.int32))
-        b2p = ((q2 * k2 + q3 - 1) // q3) * q3
-        b23p = ((b2p + q3 * k3 + qr - 1) // qr) * qr
+        i32 = jnp.int32
+        r1 = jnp.cumsum(is1.astype(i32)) - 1
+        r2 = jnp.cumsum(is2.astype(i32)) - 1
+        r3 = jnp.cumsum(is3.astype(i32)) - 1
+        rr = jnp.cumsum(isr.astype(i32)) - 1
+        isx = ~flag
+        rx = jnp.cumsum(isx.astype(i32)) - 1
+        k1 = jnp.sum(is1.astype(i32))
+        k2 = jnp.sum(is2.astype(i32))
+        k3 = jnp.sum(is3.astype(i32))
+        kr = jnp.sum(isr.astype(i32))
+        b2p = ((q1 * k1 + q2 - 1) // q2) * q2
+        b3p = ((b2p + q2 * k2 + q3 - 1) // q3) * q3
+        brp = ((b3p + q3 * k3 + qr - 1) // qr) * qr
+        bep = brp + qr * kr
         # decode the WHOLE payload under each packing (cheap vector ops);
         # block alignment makes every segment's values land on a whole
-        # decoded row: 2-bit rows from byte 0, 3-bit rows from b2p
-        # (multiple of q3), raw rows from b23p (multiple of qr)
+        # decoded row: 1-bit rows from byte 0, 2-bit rows from b2p
+        # (multiple of q2), 3-bit rows from b3p, raw rows from brp
+        d1 = jnp.stack(
+            [
+                jnp.bitwise_and(jnp.right_shift(bits, u(k)), u(1))
+                for k in range(8)
+            ],
+            axis=-1,
+        ).reshape(-1, segb)
         d2 = jnp.stack(
             [
                 jnp.bitwise_and(bits, u(3)),
@@ -321,9 +349,18 @@ def _segs_decoder(nslots, H, W, top, nh, segw, Np, pad_value=114):
             axis=-1,
         ).reshape(-1, segb)
         draw = bits.reshape(-1, segb)
-        g2 = jnp.take(d2, jnp.where(is2, r2, 0), axis=0)
-        g3 = jnp.take(d3, jnp.where(is3, b2p // q3 + r3, 0), axis=0)
-        gr = jnp.take(draw, jnp.where(isr, b23p // qr + rr, 0), axis=0)
+        g1 = jnp.take(d1, jnp.where(is1, r1, 0), axis=0)
+        g2 = jnp.take(d2, jnp.where(is2, b2p // q2 + r2, 0), axis=0)
+        g3 = jnp.take(d3, jnp.where(is3, b3p // q3 + r3, 0), axis=0)
+        gr = jnp.take(draw, jnp.where(isr, brp // qr + rr, 0), axis=0)
+        # per-segment bias: the slot default, or the ranked exception
+        seg_slot = jnp.arange(nseg, dtype=i32) // segs_per_slot
+        bias_def = jnp.take(slot_bias, seg_slot, axis=0)  # (nseg, 3)
+        xbase = bep + 3 * jnp.where(isx, rx, 0)
+        bias_exc = jnp.stack(
+            [jnp.take(bits, xbase + ch) for ch in range(3)], axis=-1
+        )
+        bias = jnp.where(flag[:, None], bias_def, bias_exc)
         prev = prev_flat_u8.reshape(nslots, H, W, 3)
         pact = jax.lax.slice_in_dim(prev, top, top + nh, axis=1).reshape(
             nseg, segb
@@ -333,8 +370,11 @@ def _segs_decoder(nslots, H, W, top, nh, segw, Np, pad_value=114):
         )
         delta = (
             jnp.where(
-                is2[:, None], g2 - u(2),
-                jnp.where(is3[:, None], g3 - u(4), u(0)),
+                is1[:, None], g1,
+                jnp.where(
+                    is2[:, None], g2 - u(2),
+                    jnp.where(is3[:, None], g3 - u(4), u(0)),
+                ),
             )
             + biasx
         )  # uint8 wraparound -> bit-exact
@@ -490,6 +530,14 @@ class BatchStream:
         self._segs_progs: Dict[Tuple[int, int, int], object] = {}
         # seg-mode host buffers, lazily sized per active-height
         self._segs_bufs: Dict[int, Dict] = {}
+        # canvas segment width: 40 px measured cheapest on jittered table
+        # streams once the bias block rides compressed (tools/
+        # segs_byte_model.py); smaller widths pay more flag/class overhead
+        # than their extra const segments save
+        self._segw = next(
+            (w for w in (40, 32, 48, 64, 80, 16, 24, 8) if imgsz % w == 0),
+            None,
+        )
         # per-slot mode engages when at most this many slots changed (beyond
         # that the dense tribit/nibble payloads are byte-cheaper)
         self._slots_max = max(1, batch // 4)
@@ -571,6 +619,9 @@ class BatchStream:
         self._prev_crops: Optional[np.ndarray] = None
         self._dev_prev_crops = None
         self._crop_segs_bufs: Optional[Dict] = None
+        # crop-rect hysteresis: class_id -> recent crop rects (finisher
+        # thread only); see _stable_rect
+        self._rect_cache: Dict[int, List[Tuple[int, int, int, int]]] = {}
         self._classify_segs_progs: Dict[int, object] = {}
         self.crop_mode_counts = {"raw": 0, "segs": 0, "skip": 0}
         # active-rows program cache: (top, nh) -> (raw_fn, nibble_fn)
@@ -810,7 +861,7 @@ class BatchStream:
             import jax
 
             decode = _segs_decoder(
-                self.B, self.imgsz, self.imgsz, top, nh, self.imgsz // 8,
+                self.B, self.imgsz, self.imgsz, top, nh, self._segw,
                 np_bucket,
             )
             detect_core = self._detect_core
@@ -843,69 +894,118 @@ class BatchStream:
             self._classify_segs_progs[key] = jax.jit(classify_segs)
         return self._classify_segs_progs[key]
 
+    @staticmethod
+    def _make_segs_bufs(segw, nseg, raw_bytes, n_pay):
+        """Host scratch for one segs-encoded plane geometry."""
+        segb = segw * 3
+        q1, q2, q3, qr = segb // 8, segb // 4, segb * 3 // 8, segb
+        lcm = int(np.lcm.reduce([q1, q2, q3, qr]))
+        # Np bucket step: multiple of lcm(q1..qr) so every decoded view
+        # reshapes to whole rows; ~raw/8 (capped ~0.7 MB) keeps the program
+        # count low (each distinct bucket is one lazy compile) without the
+        # minimum bucket swamping small payloads
+        step = lcm * max(1, min(1024, raw_bytes // (8 * lcm)))
+        trailer = 3 * nseg + (nseg + 7) // 8 + (nseg + 1) // 2 + 3 * nseg
+        cap = ((raw_bytes // 2 + step - 1) // step) * step + trailer
+        return {
+            "p1": np.zeros(nseg * q1, np.uint8),
+            "p2": np.zeros(nseg * q2, np.uint8),
+            "p3": np.zeros(nseg * q3, np.uint8),
+            "raw": np.zeros(nseg * qr, np.uint8),
+            "bias": np.zeros(nseg * 3, np.uint8),
+            "cls": np.zeros(nseg, np.uint8),
+            # payload buffers rotate with the staging pool: a dispatched
+            # payload must stay untouched until its device_put completes
+            "pay": [np.zeros(cap, np.uint8) for _ in range(n_pay)],
+            "step": step,
+        }
+
     def _encode_crop_segs(self, crops: np.ndarray):
         """Segs-encode the (B*max_rank, 64, 64, 3) crop plane against the
         previous batch's crops (full-row segments: 64 px keeps the
-        bias+class overhead at ~1.7 % of the raw plane). Returns
-        (payload_view, np_bucket) or None -> upload raw."""
+        bias+class overhead small). Returns (payload_view, np_bucket) or
+        None -> upload raw."""
         ns, ch, cw, _ = crops.shape
         segw = cw  # one segment per row
         segb = segw * 3
-        q2, q3, qr = segb // 4, segb * 3 // 8, segb
+        qs = (segb // 8, segb // 4, segb * 3 // 8, segb)
         nseg = ns * ch
         raw_bytes = ns * ch * cw * 3
         bufs = self._crop_segs_bufs
         if bufs is None:
-            lcm = int(np.lcm.reduce([q2, q3, qr]))
-            step = lcm * max(1, min(1024, raw_bytes // (8 * lcm)))
-            cap = ((raw_bytes // 2 + step - 1) // step) * step + nseg * 3 + nseg // 4
-            bufs = self._crop_segs_bufs = {
-                "p2": np.zeros(nseg * q2, np.uint8),
-                "p3": np.zeros(nseg * q3, np.uint8),
-                "raw": np.zeros(nseg * qr, np.uint8),
-                "bias": np.zeros(nseg * 3, np.uint8),
-                "cls": np.zeros(nseg, np.uint8),
-                # single buffer: the worker thread's device_put blocks until
-                # the transfer completes, so no rotation is needed here
-                "pay": [np.zeros(cap, np.uint8)],
-                "step": step,
-            }
+            # single pay buffer: the worker thread's device_put blocks
+            # until the transfer completes, so no rotation is needed here
+            bufs = self._crop_segs_bufs = self._make_segs_bufs(
+                segw, nseg, raw_bytes, 1
+            )
         counts = native.seg_encode(
             crops, self._prev_crops, 0, ch, segw,
-            bufs["p2"], bufs["p3"], bufs["raw"], bufs["bias"], bufs["cls"],
+            bufs["p1"], bufs["p2"], bufs["p3"], bufs["raw"], bufs["bias"],
+            bufs["cls"],
         )
         if counts is None:
             return None
         return self._assemble_segs_payload(
-            bufs, 0, counts, (q2, q3, qr), nseg, raw_bytes
+            bufs, 0, counts, qs, nseg, ns, raw_bytes
         )
 
-    def _assemble_segs_payload(self, bufs, pay_i, counts, qs, nseg, raw_bytes):
-        """Lay out [p2 | p3 | raw | pad | bias | cls] in one flat buffer
-        (class blocks aligned so the device decoder's rows land exactly).
-        Returns (payload_view, np_bucket) or None when not beneficial."""
-        q2, q3, qr = qs
-        k2, k3, kr = counts
-        b2p = ((q2 * k2 + q3 - 1) // q3) * q3  # 3-bit block start: % q3 == 0
-        b23p = ((b2p + q3 * k3 + qr - 1) // qr) * qr  # raw block: % qr == 0
-        used = b23p + qr * kr
+    @staticmethod
+    def _assemble_segs_payload(bufs, pay_i, counts, qs, nseg, nslots, raw_bytes):
+        """Lay out [p1 | p2 | p3 | raw | bias exceptions | pad |
+        slot bias defaults | flags | cls] in one flat buffer (class blocks
+        aligned so the device decoder's rows land exactly). The dense
+        per-segment bias block compresses to a 3-byte default per slot
+        (the modal bias — the photometric shift) + a 1-bit flag per
+        segment + exception triples for the (clip-boundary) segments that
+        deviate. Returns (payload_view, np_bucket) or None when not
+        beneficial."""
+        q1, q2, q3, qr = qs
+        k1, k2, k3, kr = counts
+        sps = nseg // nslots  # segments per slot
+        bias = bufs["bias"][: nseg * 3].reshape(nslots, sps, 3)
+        # per-slot per-channel modal bias via one bincount per channel
+        slot_idx = np.arange(nslots, dtype=np.int64)[:, None] * 256
+        defaults = np.empty((nslots, 3), np.uint8)
+        for ch in range(3):
+            cnt = np.bincount(
+                (slot_idx + bias[:, :, ch]).reshape(-1),
+                minlength=nslots * 256,
+            ).reshape(nslots, 256)
+            defaults[:, ch] = cnt.argmax(axis=1).astype(np.uint8)
+        flags = (bias == defaults[:, None, :]).all(axis=2).reshape(-1)
+        exc = bias.reshape(-1, 3)[~flags]
+        ke = exc.shape[0]
+        nfl = (nseg + 7) // 8
+        ncl = (nseg + 1) // 2
+        b2p = ((q1 * k1 + q2 - 1) // q2) * q2  # 2-bit block: % q2 == 0
+        b3p = ((b2p + q2 * k2 + q3 - 1) // q3) * q3  # 3-bit block: % q3 == 0
+        brp = ((b3p + q3 * k3 + qr - 1) // qr) * qr  # raw block: % qr == 0
+        bep = brp + qr * kr  # bias-exception block (unaligned: byte gathers)
+        used = bep + 3 * ke
         step = bufs["step"]
         np_bucket = max(step, ((used + step - 1) // step) * step)
-        total = np_bucket + nseg * 3 + nseg // 4
+        total = np_bucket + nslots * 3 + nfl + ncl
         if total >= raw_bytes // 2:  # nibble/raw would be no worse
             return None
         pay = bufs["pay"][pay_i]
-        pay[: q2 * k2] = bufs["p2"][: q2 * k2]
-        pay[q2 * k2 : b2p] = 0
-        pay[b2p : b2p + q3 * k3] = bufs["p3"][: q3 * k3]
-        pay[b2p + q3 * k3 : b23p] = 0
-        pay[b23p:used] = bufs["raw"][: qr * kr]
+        pay[: q1 * k1] = bufs["p1"][: q1 * k1]
+        pay[q1 * k1 : b2p] = 0
+        pay[b2p : b2p + q2 * k2] = bufs["p2"][: q2 * k2]
+        pay[b2p + q2 * k2 : b3p] = 0
+        pay[b3p : b3p + q3 * k3] = bufs["p3"][: q3 * k3]
+        pay[b3p + q3 * k3 : brp] = 0
+        pay[brp:bep] = bufs["raw"][: qr * kr]
+        pay[bep:used] = exc.reshape(-1)
         pay[used:np_bucket] = 0  # bucket pad: zeros compress in transit
-        pay[np_bucket : np_bucket + nseg * 3] = bufs["bias"]
-        cls = bufs["cls"]
-        pay[np_bucket + nseg * 3 : total] = (
-            cls[0::4] | cls[1::4] << 2 | cls[2::4] << 4 | cls[3::4] << 6
-        )
+        o = np_bucket
+        pay[o : o + nslots * 3] = defaults.reshape(-1)
+        o += nslots * 3
+        pay[o : o + nfl] = np.packbits(flags, bitorder="little")
+        o += nfl
+        cls = bufs["cls"][:nseg]
+        if nseg % 2:
+            cls = np.append(cls, np.uint8(0))
+        pay[o : o + ncl] = cls[0::2] | cls[1::2] << 4
         return pay[:total], np_bucket
 
     def _encode_segs(self, staging: np.ndarray, top: int, nh: int):
@@ -913,42 +1013,27 @@ class BatchStream:
         (payload_view, np_bucket) or None when the encoding isn't
         beneficial (caller falls back to tribit/nibble/raw)."""
         imgsz = self.imgsz
-        segw = imgsz // 8
-        if segw % 8 != 0 or imgsz % segw != 0:
+        segw = self._segw
+        if segw is None:
             return None
         segb = segw * 3
-        q2, q3, qr = segb // 4, segb * 3 // 8, segb
-        nseg = self.B * nh * 8
+        qs = (segb // 8, segb // 4, segb * 3 // 8, segb)
+        nsegrow = imgsz // segw
+        nseg = self.B * nh * nsegrow
         raw_act = self.B * nh * imgsz * 3
         bufs = self._segs_bufs.get(nh)
         if bufs is None:
-            # Np bucket step: multiple of lcm(q2, q3, qr) so every decoded
-            # view reshapes to whole rows; ~raw/8 (capped ~0.7 MB) keeps the
-            # program count low (each distinct bucket is one lazy compile)
-            # without the minimum bucket swamping small-canvas payloads
-            lcm = int(np.lcm.reduce([q2, q3, qr]))
-            step = lcm * max(1, min(1024, raw_act // (8 * lcm)))
-            cap = ((raw_act // 2 + step - 1) // step) * step + nseg * 3 + nseg // 4
-            bufs = {
-                "p2": np.zeros(nseg * q2, np.uint8),
-                "p3": np.zeros(nseg * q3, np.uint8),
-                "raw": np.zeros(nseg * qr, np.uint8),
-                "bias": np.zeros(nseg * 3, np.uint8),
-                "cls": np.zeros(nseg, np.uint8),
-                # rotates with the staging pool: the dispatched payload must
-                # stay untouched until its device_put completes
-                "pay": [np.zeros(cap, np.uint8) for _ in range(4)],
-                "step": step,
-            }
+            bufs = self._make_segs_bufs(segw, nseg, raw_act, 4)
             self._segs_bufs[nh] = bufs
         counts = native.seg_encode(
             staging, self._prev_staging, top, nh, segw,
-            bufs["p2"], bufs["p3"], bufs["raw"], bufs["bias"], bufs["cls"],
+            bufs["p1"], bufs["p2"], bufs["p3"], bufs["raw"], bufs["bias"],
+            bufs["cls"],
         )
         if counts is None:
             return None
         return self._assemble_segs_payload(
-            bufs, self._staging_i % 4, counts, (q2, q3, qr), nseg, raw_act
+            bufs, self._staging_i % 4, counts, qs, nseg, self.B, raw_act
         )
 
     def _batch_geom(self, metas) -> Optional[Tuple[int, int]]:
@@ -1235,18 +1320,28 @@ class BatchStream:
                 for i in range(n)
             ]
             results.append(dets)
-            taken = 0
+            # candidate rank crops, with hysteresis-stabilised rects and a
+            # deterministic slot order (class id, then rect): detector boxes
+            # jitter a few px frame to frame and NMS order swaps under
+            # photometric noise, which would otherwise make the slot-wise
+            # crop delta compare different cards / shifted content
+            cands = []
+            p = self.crop_pad
             for i in range(n):
-                if taken >= self.max_rank:
-                    break
-                if int(packed[bi, i, 5]) not in self._rank_ids:
+                cid = int(packed[bi, i, 5])
+                if cid not in self._rank_ids:
                     continue
                 x1, y1, x2, y2 = boxes[i]
-                p = self.crop_pad
-                crop = frame[
-                    max(0, int(y1) - p) : int(y2) + p,
-                    max(0, int(x1) - p) : int(x2) + p,
-                ]
+                rect = self._stable_rect(
+                    cid,
+                    (max(0, int(y1) - p), max(0, int(x1) - p),
+                     int(y2) + p, int(x2) + p),
+                )
+                cands.append((cid, rect, i))
+            cands.sort(key=lambda c: c[:2])
+            for taken, (cid, rect, i) in enumerate(cands[: self.max_rank]):
+                ys, xs, ye, xe = rect
+                crop = frame[ys:ye, xs:xe]
                 if crop.size == 0:
                     continue
                 ch, cw = crop.shape[:2]
@@ -1257,7 +1352,6 @@ class BatchStream:
                 slot = bi * self.max_rank + taken
                 crops[slot] = resized[t : t + 64, l : l + 64]
                 crop_refs.append((slot, (bi, i)))
-                taken += 1
 
         if crop_refs:
             probs = np.asarray(
@@ -1275,6 +1369,28 @@ class BatchStream:
                         cleaned if cleaned in VALID_CARD_RANKS else pred.upper()
                     )
         return results
+
+    def _stable_rect(self, cid: int, rect: Tuple[int, int, int, int]):
+        """Hysteresis for crop rects: when a new rect is within the pad
+        margin of a recently used one for the same class, reuse the cached
+        rect verbatim. On static content (table UI) this makes the gathered
+        crop bytes temporally stable — the crop-plane delta collapses to
+        const-class segments / skips — and the classifier input
+        deterministic; the pad margin bounds the content shift. Per-class
+        lists (MRU, capped) keep multi-table slots with the same class
+        apart by proximity."""
+        cache = self._rect_cache.setdefault(cid, [])
+        tol = self.crop_pad
+        for k, r in enumerate(cache):
+            if (abs(r[0] - rect[0]) <= tol and abs(r[1] - rect[1]) <= tol
+                    and abs(r[2] - rect[2]) <= tol
+                    and abs(r[3] - rect[3]) <= tol):
+                if k:
+                    cache.insert(0, cache.pop(k))
+                return r
+        cache.insert(0, rect)
+        del cache[8:]
+        return rect
 
     def _classify_crops(self, crops: np.ndarray):
         """Classify the gathered rank crops, streaming the crop plane as a

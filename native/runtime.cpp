@@ -404,29 +404,31 @@ int32_t tribit_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
 //
 //   class 0 (const): span == 0 on every channel -> bias IS the delta,
 //                    zero payload bytes
-//   class 1 (2-bit): span <= 3  -> v = d - bias + 2 in [0, 3],
+//   class 1 (1-bit): span <= 1  -> v = d - bias in [0, 1],
+//                    8 values/byte, segb/8 payload bytes
+//   class 2 (2-bit): span <= 3  -> v = d - bias + 2 in [0, 3],
 //                    4 values/byte, segb/4 payload bytes
-//   class 2 (3-bit): span <= 7  -> v = d - bias + 4 in [0, 7],
+//   class 3 (3-bit): span <= 7  -> v = d - bias + 4 in [0, 7],
 //                    8 values per 3 bytes, segb*3/8 payload bytes
-//   class 3 (raw):   anything   -> the segment's cur bytes verbatim
+//   class 4 (raw):   anything   -> the segment's cur bytes verbatim
 //
 // Biases are clipped toward 0 (zero-delta regions stay maximally
 // transit-compressible); all arithmetic is mod 256 -> bit-exact. Payloads
 // append densely per class in scan order (the device recovers each
 // segment's position from a cumsum over the class array — no offsets on
-// the wire). Never fails; out_counts = {n_2bit, n_3bit, n_raw}.
+// the wire). Never fails; out_counts = {n_1bit, n_2bit, n_3bit, n_raw}.
 // Requires segw % 8 == 0 (so segb % 24 == 0: whole 24-lane blocks only).
 // ---------------------------------------------------------------------------
 int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
                    int32_t nh, int32_t width, int64_t slot_stride,
-                   int32_t segw, uint8_t *out_p2, uint8_t *out_p3,
-                   uint8_t *out_raw, uint8_t *out_bias, uint8_t *out_cls,
-                   int64_t *out_counts) {
+                   int32_t segw, uint8_t *out_p1, uint8_t *out_p2,
+                   uint8_t *out_p3, uint8_t *out_raw, uint8_t *out_bias,
+                   uint8_t *out_cls, int64_t *out_counts) {
   if (segw % 8 != 0 || width % segw != 0) return 0;
   const int64_t row_bytes = (int64_t)width * 3;
   const int32_t nsegrow = width / segw;
   const int64_t segb = (int64_t)segw * 3;  // % 24 == 0
-  int64_t k2 = 0, k3 = 0, kr = 0, seg_i = 0;
+  int64_t k1 = 0, k2 = 0, k3 = 0, kr = 0, seg_i = 0;
   for (int32_t s = 0; s < nslots; ++s) {
     for (int32_t r = 0; r < nh; ++r) {
       const uint8_t *crow = cur + (size_t)s * slot_stride + (size_t)r * row_bytes;
@@ -461,8 +463,32 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
         if (span == 0) {
           out_cls[seg_i] = 0;
           for (int ch = 0; ch < 3; ++ch) bias[ch] = (uint8_t)cmn[ch];
-        } else if (span <= 3) {
+        } else if (span <= 1) {
           out_cls[seg_i] = 1;
+          uint8_t add24[24];  // (-bias) per lane
+          for (int ch = 0; ch < 3; ++ch) {
+            int16_t b = (int16_t)(cmx[ch] - 1);
+            if (b < 0) b = 0;
+            if (b > cmn[ch]) b = cmn[ch];
+            bias[ch] = (uint8_t)b;
+            for (int rep = ch; rep < 24; rep += 3) add24[rep] = (uint8_t)(-b);
+          }
+          uint8_t *o = out_p1 + (size_t)k1 * (segb / 8);
+          for (int64_t i = 0; i + 24 <= segb; i += 24, o += 3) {
+            uint8_t v[24];
+            for (int k = 0; k < 24; ++k)
+              v[k] = (uint8_t)((uint8_t)(c[i + k] - p[i + k] + add24[k]) & 1);
+            for (int gg = 0; gg < 3; ++gg) {
+              const uint8_t *w = v + gg * 8;
+              o[gg] = (uint8_t)(w[0] | (uint8_t)(w[1] << 1) |
+                                (uint8_t)(w[2] << 2) | (uint8_t)(w[3] << 3) |
+                                (uint8_t)(w[4] << 4) | (uint8_t)(w[5] << 5) |
+                                (uint8_t)(w[6] << 6) | (uint8_t)(w[7] << 7));
+            }
+          }
+          ++k1;
+        } else if (span <= 3) {
+          out_cls[seg_i] = 2;
           uint8_t add12[12];  // (2 - bias) per position, period lcm(3, 4)
           for (int ch = 0; ch < 3; ++ch) {
             int16_t b = (int16_t)(cmx[ch] - 1);
@@ -485,7 +511,7 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
           }
           ++k2;
         } else if (span <= 7) {
-          out_cls[seg_i] = 2;
+          out_cls[seg_i] = 3;
           uint8_t add[6];
           for (int ch = 0; ch < 3; ++ch) {
             int16_t b = (int16_t)(cmx[ch] - 3);
@@ -512,7 +538,7 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
           }
           ++k3;
         } else {
-          out_cls[seg_i] = 3;
+          out_cls[seg_i] = 4;
           bias[0] = bias[1] = bias[2] = 0;
           std::memcpy(out_raw + (size_t)kr * segb, c, (size_t)segb);
           ++kr;
@@ -520,9 +546,10 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
       }
     }
   }
-  out_counts[0] = k2;
-  out_counts[1] = k3;
-  out_counts[2] = kr;
+  out_counts[0] = k1;
+  out_counts[1] = k2;
+  out_counts[2] = k3;
+  out_counts[3] = kr;
   return 1;
 }
 

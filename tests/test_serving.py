@@ -312,35 +312,37 @@ def test_batch_stream_active_rows_upload_lossless():
 
 def test_seg_encode_native_matches_numpy():
     """The native seg_encode and its numpy mirror must agree byte-for-byte
-    (payloads, biases, classes, counts) on a stream mixing all four
+    (payloads, biases, classes, counts) on a stream mixing all five
     segment classes."""
     from manual_yolo_tpu.runtime import native as native_mod
 
     if native_mod.get_lib() is None:
         pytest.skip("native library unavailable")
     rng = np.random.default_rng(0)
-    B, H, W, segw = 3, 64, 64, 8
+    B, H, W, segw = 4, 64, 64, 8
     top, nh = 8, 48
     prev = rng.integers(0, 256, (B, H, W, 3), np.uint8)
     cur = prev.copy()
     act = slice(top, top + nh)
     # slot 0: +3 constant shift (const segs, clipped pixels -> 2/3-bit);
-    # slot 1: tiny per-pixel noise (2/3-bit); slot 2: repaint (raw)
+    # slot 1: tiny per-pixel noise (2/3-bit); slot 2: repaint (raw);
+    # slot 3: +1 shift (clip-boundary segments span 1 -> 1-bit class)
     cur[0, act] = np.clip(cur[0, act].astype(np.int16) + 3, 0, 255).astype(np.uint8)
     cur[1, act] = np.clip(
         cur[1, act].astype(np.int16) + rng.integers(-2, 3, (nh, W, 3)), 0, 255
     ).astype(np.uint8)
     cur[2, top + 10 : top + 30, 10:40] = rng.integers(0, 256, (20, 30, 3), np.uint8)
+    cur[3, act] = np.clip(cur[3, act].astype(np.int16) + 1, 0, 255).astype(np.uint8)
 
     nseg = B * nh * (W // segw)
     segb = segw * 3
-    q2, q3, qr = segb // 4, segb * 3 // 8, segb
+    q1, q2, q3, qr = segb // 8, segb // 4, segb * 3 // 8, segb
 
     def run(force_numpy):
         bufs = (
-            np.zeros(nseg * q2, np.uint8), np.zeros(nseg * q3, np.uint8),
-            np.zeros(nseg * qr, np.uint8), np.zeros(nseg * 3, np.uint8),
-            np.zeros(nseg, np.uint8),
+            np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q2, np.uint8),
+            np.zeros(nseg * q3, np.uint8), np.zeros(nseg * qr, np.uint8),
+            np.zeros(nseg * 3, np.uint8), np.zeros(nseg, np.uint8),
         )
         counts = native_mod.seg_encode(
             cur, prev, top, nh, segw, *bufs, force_numpy=force_numpy
@@ -350,9 +352,9 @@ def test_seg_encode_native_matches_numpy():
     cn, bn = run(False)
     cp, bp = run(True)
     assert cn == cp and cn is not None
-    k2, k3, kr = cn
-    assert k2 > 0 and k3 > 0 and kr > 0  # all payload classes exercised
-    assert np.bincount(bn[4], minlength=4)[0] > 0  # const segments too
+    k1, k2, k3, kr = cn
+    assert k1 > 0 and k2 > 0 and k3 > 0 and kr > 0  # all payload classes
+    assert np.bincount(bn[5], minlength=5)[0] > 0  # const segments too
     for a, b in zip(bn, bp):
         assert np.array_equal(a, b)
 
@@ -383,7 +385,12 @@ def test_batch_stream_segs_mode_lossless_mixed_stream():
         )
 
     rng = np.random.default_rng(5)
-    base = rng.integers(0, 255, (240, 400, 3), np.uint8)
+    # mid-range base: photometric jitter never clips, so the letterboxed
+    # delta stays (near-)uniform per slot — the smooth-content regime real
+    # table frames live in. (Full-range noise after resize interpolation
+    # pushes the segs payload right at the tribit threshold, where either
+    # mode is a legitimate choice.)
+    base = rng.integers(30, 226, (240, 400, 3), np.uint8)
 
     def jittered():
         j = rng.integers(-4, 5, (1, 1, 3), np.int16)
@@ -415,6 +422,54 @@ def test_batch_stream_segs_mode_lossless_mixed_stream():
     assert sum(s_delta.crop_mode_counts.values()) >= 1
     s_raw.close()
     s_delta.close()
+
+
+def test_segs_payload_roundtrip_decoder():
+    """encode (native) -> assemble (host, packed-bias trailer) -> decode
+    (device program) must reproduce the current plane bit-exactly,
+    including letterbox padding rows and every payload class. Exercises
+    the compressed bias path with wrapped (negative) biases and
+    per-slot defaults that differ between slots."""
+    from manual_yolo_tpu.runtime import native as native_mod
+    from manual_yolo_tpu.runtime.serving import BatchStream, _segs_decoder
+
+    rng = np.random.default_rng(3)
+    nslots, H, W, segw = 4, 64, 64, 8
+    top, nh = 8, 48
+    prev = rng.integers(0, 256, (nslots, H, W, 3), np.uint8)
+    cur = prev.copy()
+    act = slice(top, top + nh)
+    shifts = (3, -2, 1, 0)  # per-slot photometric shift (slot defaults)
+    for s, k in enumerate(shifts):
+        cur[s, act] = np.clip(
+            cur[s, act].astype(np.int16) + k, 0, 255
+        ).astype(np.uint8)
+    cur[2, top + 4 : top + 12, 8:32] = rng.integers(0, 256, (8, 24, 3), np.uint8)
+
+    nseg = nslots * nh * (W // segw)
+    segb = segw * 3
+    qs = (segb // 8, segb // 4, segb * 3 // 8, segb)
+    raw_act = nslots * nh * W * 3
+    bufs = BatchStream._make_segs_bufs(segw, nseg, raw_act, 1)
+    counts = native_mod.seg_encode(
+        cur, prev, top, nh, segw, bufs["p1"], bufs["p2"], bufs["p3"],
+        bufs["raw"], bufs["bias"], bufs["cls"],
+    )
+    assert counts is not None
+    enc = BatchStream._assemble_segs_payload(
+        bufs, 0, counts, qs, nseg, nslots, raw_act
+    )
+    assert enc is not None
+    payload, npb = enc
+    assert len(payload) < raw_act // 2
+    decode = _segs_decoder(nslots, H, W, top, nh, segw, npb)
+    out = np.asarray(
+        jax.jit(decode)(jnp.asarray(payload), jnp.asarray(prev.reshape(-1)))
+    ).reshape(nslots, H, W, 3)
+    expect = cur.copy()
+    expect[:, :top] = 114
+    expect[:, top + nh :] = 114
+    assert np.array_equal(out, expect)
 
 
 def test_classify_crop_segs_program_bit_exact():
@@ -516,3 +571,32 @@ def test_serve_cli_fleet_end_to_end(tmp_path):
             open(os.path.join(out, f"table_{ti:02d}", sorted(games)[-1]))
         )
         assert {"hero", "board", "villains", "game_state"} <= set(g)
+
+
+def test_stable_rect_hysteresis():
+    """Crop-rect hysteresis: rects within the pad tolerance of a cached one
+    reuse the cached rect verbatim (stable crop bytes under detector box
+    jitter); rects beyond it, or for other classes, get their own entry."""
+    import types
+
+    from manual_yolo_tpu.runtime.serving import BatchStream
+
+    stub = types.SimpleNamespace(_rect_cache={}, crop_pad=6)
+    sr = BatchStream._stable_rect
+    base = (100, 200, 160, 260)
+    assert sr(stub, 5, base) == base
+    # all coords jittered within +-6 -> the cached rect comes back
+    assert sr(stub, 5, (104, 196, 166, 258)) == base
+    assert sr(stub, 5, (94, 206, 154, 266)) == base
+    # one edge beyond the tolerance -> a new entry
+    far = (100, 200, 160, 267)
+    assert sr(stub, 5, far) == far
+    # both entries persist; nearest-match picks the right one
+    assert sr(stub, 5, (99, 201, 161, 259)) == base
+    # a different class never shares entries
+    other = (101, 201, 161, 261)
+    assert sr(stub, 9, other) == other
+    # cache is bounded per class
+    for k in range(20):
+        sr(stub, 5, (1000 * k, 0, 1000 * k + 50, 50))
+    assert len(stub._rect_cache[5]) <= 8
