@@ -25,6 +25,7 @@ reference's pad=6 / shortest-side-center-crop semantics).
 from __future__ import annotations
 
 import collections
+import time
 from typing import Deque, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -398,10 +399,15 @@ class BatchStream:
     ~30 ms round trip regardless of size (measured), while the detect
     program itself runs in ~2 ms — so per-frame transfers cap throughput
     near 15 fps no matter how fast the model is. This engine moves B frames
-    per transfer: one batched canvas upload, one batched detect+pack call,
-    one packed readback, one crop upload, one batched classify — 4 round
-    trips amortised over B frames, with two batches in flight so the link
-    streams while the device computes.
+    per transfer, and in the steady state makes ONE device_put and ONE
+    fetch per batch: the canvas delta payload and the classifier-crop
+    plane (gathered PREDICTIVELY at the rects the last finished batch
+    used — hysteresis keeps them stable on static UI) ride in the same
+    upload, a single fused program runs decode -> detect -> NMS -> crop
+    decode -> classify, and one flat readback carries detections AND rank
+    probabilities. The finisher re-classifies only detections whose rect
+    prediction missed (new/moved cards). Two batches stay in flight so
+    the link streams while the device computes.
 
     ``delta=True`` enables tri-mode canvas streaming against the previous
     batch (VNC-style, lossless — detection numerics identical to raw mode):
@@ -622,8 +628,33 @@ class BatchStream:
         # crop-rect hysteresis: class_id -> recent crop rects (finisher
         # thread only); see _stable_rect
         self._rect_cache: Dict[int, List[Tuple[int, int, int, int]]] = {}
+        # predictive fused classify (segs canvas mode): the submit thread
+        # gathers crops from the CURRENT frames at the rects the last
+        # finished batch used (static UI -> rects are hysteresis-stable),
+        # ships them inside the SAME device_put as the canvas payload, and
+        # one fused program returns detections AND rank probabilities —
+        # collapsing the steady state from 2 puts + 2 fetches to 1 + 1.
+        # The finisher verifies each actual detection's rect against the
+        # prediction and re-classifies only the (rare) misses.
+        self._pred_rects: List[List[Tuple[int, Tuple[int, int, int, int]]]] = [
+            [] for _ in range(batch)
+        ]
+        # predicted-plane delta chain, disjoint from the finisher's
+        # _prev_crops chain: encode reference written only by the submit
+        # thread, device reference written only by the dispatcher (zeros
+        # until the first fused batch establishes the real plane)
+        self._pred_prev_crops: Optional[np.ndarray] = None
+        self._dev_pred_crops = jnp.zeros(
+            (batch * max_rank * 64 * 64 * 3,), jnp.uint8
+        )
+        self._pred_segs_bufs: Optional[Dict] = None
+        self._fused_progs: Dict[Tuple, object] = {}
+        self.fused_hits = 0
+        self.fused_misses = 0
         self._classify_segs_progs: Dict[int, object] = {}
-        self.crop_mode_counts = {"raw": 0, "segs": 0, "skip": 0}
+        self.crop_mode_counts = {
+            "raw": 0, "segs": 0, "skip": 0, "fused_segs": 0, "fused_raw": 0,
+        }
         # active-rows program cache: (top, nh) -> (raw_fn, nibble_fn)
         self._active_progs: Dict[Tuple[int, int], Tuple] = {}
         # delta scratch per active-height (contiguous, so reshape(-1) on the
@@ -658,13 +689,24 @@ class BatchStream:
         # rotate 3-deep, so at most 2 may sit behind the one being uploaded
         self._dispatch_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
 
+        # always-on per-stage wall timings (seconds, one entry per batch):
+        # submit_letterbox / submit_encode / submit_crops / submit_queue /
+        # dispatch (device_put + program launch) / fetch_wait (device
+        # compute + readback) / finish_tail (host assembly + fallbacks).
+        # Cost is a few perf_counter calls per 32-frame batch; read with
+        # stage_summary().
+        self.stage_stats: Dict[str, List[float]] = collections.defaultdict(list)
+
         def _dispatcher():
+            import time as _time
+
             import jax.numpy as _jnp
 
             while True:
                 item = self._dispatch_q.get()
                 if item is None:
                     return
+                _t0 = _time.perf_counter()
                 try:
                     mode = item.pop("mode")
                     if mode == "skip":
@@ -689,6 +731,13 @@ class BatchStream:
                             _jnp.asarray(item.pop("payload")),
                             self._dev_prev,
                         )
+                    elif mode == "fused":
+                        fut, dev, devk = item.pop("fused_fn")(
+                            self.det_params, self.cls_params,
+                            _jnp.asarray(item.pop("payload")),
+                            self._dev_prev, self._dev_pred_crops,
+                        )
+                        self._dev_pred_crops = devk
                     elif mode == "slots":
                         fut, dev = item.pop("slots_fn")(
                             self.det_params,
@@ -708,6 +757,9 @@ class BatchStream:
                     if self.delta:
                         self._dev_prev = dev
                     item["fut"] = fut
+                    self.stage_stats["dispatch"].append(
+                        _time.perf_counter() - _t0
+                    )
                 except BaseException as e:  # surfaces in collect_batch
                     item["err"] = e
                     item["evt"].set()
@@ -733,6 +785,12 @@ class BatchStream:
                         _jax.block_until_ready(item["fut"])
                         item["out"] = copy_mod.deepcopy(last_out)
                         self.memo_hits += 1
+                    elif "pred" in item:
+                        item["out"] = self._finish_batch_fused(
+                            item["frames"], item["metas"], item["fut"],
+                            item["pred"],
+                        )
+                        last_out = copy_mod.deepcopy(item["out"])
                     else:
                         item["out"] = self._finish_batch(
                             item["frames"], item["metas"], item["fut"]
@@ -894,6 +952,55 @@ class BatchStream:
             self._classify_segs_progs[key] = jax.jit(classify_segs)
         return self._classify_segs_progs[key]
 
+    def _crop_payload_total(self, npk: int) -> int:
+        """Static byte length of a crop-plane segs payload with bucket npk."""
+        ns = self.B * self.max_rank
+        nseg = ns * 64
+        return npk + ns * 3 + (nseg + 7) // 8 + (nseg + 1) // 2
+
+    def _get_fused_prog(self, top: int, nh: int, npc: int, npk: int):
+        """One program for the whole batch step: canvas segs decode ->
+        detect -> crop-plane decode (segs bucket ``npk``, or the raw plane
+        when ``npk < 0``) -> classify. Returns ONE flat f32 readback
+        (packed detections | rank probabilities) plus the two decoded
+        planes that become the next batch's delta references. Steady state
+        is one device_put and one fetch per batch — each crossing of the
+        tunnel pays a fixed ~60 ms stall, so halving the crossings matters
+        as much as the bytes."""
+        key = (top, nh, npc, npk)
+        if key not in self._fused_progs:
+            import jax
+            import jax.numpy as jnp
+
+            decode_canvas = _segs_decoder(
+                self.B, self.imgsz, self.imgsz, top, nh, self._segw, npc
+            )
+            nseg_c = self.B * nh * (self.imgsz // self._segw)
+            ctotal = (
+                npc + self.B * 3 + (nseg_c + 7) // 8 + (nseg_c + 1) // 2
+            )
+            ns = self.B * self.max_rank
+            if npk >= 0:
+                decode_crops = _segs_decoder(ns, 64, 64, 0, 64, 64, npk)
+            else:
+                decode_crops = None
+            detect_core = self._detect_core
+            classify_core = self._classify_core
+
+            def fused(det_params, cls_params, payload_u8, prev_flat_u8,
+                      prev_crops_u8):
+                canv = decode_canvas(payload_u8[:ctotal], prev_flat_u8)
+                packed, dev_canv = detect_core(det_params, canv)
+                if decode_crops is not None:
+                    crops = decode_crops(payload_u8[ctotal:], prev_crops_u8)
+                else:
+                    crops = payload_u8[ctotal : ctotal + ns * 64 * 64 * 3]
+                probs = classify_core(cls_params, crops)
+                return jnp.concatenate([packed, probs]), dev_canv, crops
+
+            self._fused_progs[key] = jax.jit(fused)
+        return self._fused_progs[key]
+
     @staticmethod
     def _make_segs_bufs(segw, nseg, raw_bytes, n_pay):
         """Host scratch for one segs-encoded plane geometry."""
@@ -920,34 +1027,71 @@ class BatchStream:
             "step": step,
         }
 
-    def _encode_crop_segs(self, crops: np.ndarray):
-        """Segs-encode the (B*max_rank, 64, 64, 3) crop plane against the
-        previous batch's crops (full-row segments: 64 px keeps the
-        bias+class overhead small). Returns (payload_view, np_bucket) or
-        None -> upload raw."""
+    def _encode_crop_plane_segs(self, crops, prev, bufs, pay_i):
+        """Segs-encode a (B*max_rank, 64, 64, 3) crop plane against a
+        previous plane (full-row segments: 64 px keeps the bias+class
+        overhead small). Returns (payload_view, np_bucket) or None ->
+        upload raw."""
         ns, ch, cw, _ = crops.shape
         segw = cw  # one segment per row
         segb = segw * 3
         qs = (segb // 8, segb // 4, segb * 3 // 8, segb)
         nseg = ns * ch
         raw_bytes = ns * ch * cw * 3
-        bufs = self._crop_segs_bufs
-        if bufs is None:
-            # single pay buffer: the worker thread's device_put blocks
-            # until the transfer completes, so no rotation is needed here
-            bufs = self._crop_segs_bufs = self._make_segs_bufs(
-                segw, nseg, raw_bytes, 1
-            )
         counts = native.seg_encode(
-            crops, self._prev_crops, 0, ch, segw,
+            crops, prev, 0, ch, segw,
             bufs["p1"], bufs["p2"], bufs["p3"], bufs["raw"], bufs["bias"],
             bufs["cls"],
         )
         if counts is None:
             return None
         return self._assemble_segs_payload(
-            bufs, 0, counts, qs, nseg, ns, raw_bytes
+            bufs, pay_i, counts, qs, nseg, ns, raw_bytes
         )
+
+    def _encode_crop_segs(self, crops: np.ndarray):
+        """Finisher-thread crop delta (the non-fused classify path)."""
+        if self._crop_segs_bufs is None:
+            # single pay buffer: the worker thread's device_put blocks
+            # until the transfer completes, so no rotation is needed here
+            self._crop_segs_bufs = self._make_segs_bufs(
+                64, crops.shape[0] * 64, crops.size, 1
+            )
+        return self._encode_crop_plane_segs(
+            crops, self._prev_crops, self._crop_segs_bufs, 0
+        )
+
+    def _build_fused_payload(self, frames, canvas_payload):
+        """Submit-thread half of the fused step: gather crops from the
+        CURRENT frames at the last finished batch's rects, delta-encode
+        them against the previous predicted plane, and append to the
+        canvas payload. Returns (combined_payload, npk, pred_snapshot);
+        npk = -1 means the crop plane rides raw (bootstrap, or delta not
+        beneficial)."""
+        pred = [list(p) for p in self._pred_rects]  # finisher swaps the ref
+        ns = self.B * self.max_rank
+        crops = np.zeros((ns, 64, 64, 3), np.uint8)
+        for bi in range(self.B):
+            for j, (cid, rect) in enumerate(pred[bi][: self.max_rank]):
+                c = self._gather_crop_u8(frames[bi], rect)
+                if c is not None:
+                    crops[bi * self.max_rank + j] = c
+        npk, kpay = -1, None
+        if self._pred_prev_crops is not None:
+            if self._pred_segs_bufs is None:
+                self._pred_segs_bufs = self._make_segs_bufs(
+                    64, ns * 64, crops.size, 4
+                )
+            enc = self._encode_crop_plane_segs(
+                crops, self._pred_prev_crops, self._pred_segs_bufs,
+                self._staging_i % 4,
+            )
+            if enc is not None:
+                kpay, npk = enc
+        if kpay is None:
+            kpay = crops.reshape(-1)
+        self._pred_prev_crops = crops
+        return np.concatenate([canvas_payload, kpay]), npk, pred
 
     @staticmethod
     def _assemble_segs_payload(bufs, pay_i, counts, qs, nseg, nslots, raw_bytes):
@@ -1144,6 +1288,7 @@ class BatchStream:
         import jax.numpy as jnp
 
         assert len(frames) == self.B
+        _ts0 = time.perf_counter()
         self._staging_i = (self._staging_i + 1) % len(self._staging)
         staging = self._staging[self._staging_i]
         metas = []
@@ -1175,6 +1320,8 @@ class BatchStream:
             if self.delta:
                 self._prev_frames[i] = f
         geom = self._batch_geom(metas)
+        _ts1 = time.perf_counter()
+        self.stage_stats["submit_letterbox"].append(_ts1 - _ts0)
         mode, payload, seg_bucket = "raw", None, None
         if self.delta and self._prev_staging is not None:
             if all_unchanged or np.array_equal(staging, self._prev_staging):
@@ -1222,6 +1369,8 @@ class BatchStream:
                         mode = "nibble"
         import threading
 
+        _ts2 = time.perf_counter()
+        self.stage_stats["submit_encode"].append(_ts2 - _ts1)
         item = {
             "frames": frames, "metas": metas, "fut": None, "mode": mode,
             # skip-mode with every slot byte-identical -> detect ran on the
@@ -1242,8 +1391,17 @@ class BatchStream:
             item["tribit_fn"] = self._get_active_progs(*geom)["tribit"]
             item["payload"] = payload
         elif mode == "segs":
-            item["segs_fn"] = self._get_segs_prog(*geom, seg_bucket)
+            # predictive fused classify: crops gathered at the last
+            # finished batch's rects ride in the SAME put, and detect +
+            # classify run as ONE program -> 1 put + 1 fetch steady state
+            _tc = time.perf_counter()
+            payload, npk, pred = self._build_fused_payload(frames, payload)
+            self.stage_stats["submit_crops"].append(time.perf_counter() - _tc)
+            item["mode"] = "fused"
+            item["fused_fn"] = self._get_fused_prog(*geom, seg_bucket, npk)
             item["payload"] = payload
+            item["pred"] = pred
+            self.crop_mode_counts["fused_segs" if npk >= 0 else "fused_raw"] += 1
         elif mode == "slots":
             idx = [i for i, c in enumerate(changed) if c]
             kp = 1
@@ -1279,7 +1437,9 @@ class BatchStream:
         if mode != "skip":
             self._prev_geom = geom
         self._pending.append(item)
+        _ts3 = time.perf_counter()
         self._dispatch_q.put(item)  # blocks if 2 batches are undispatched
+        self.stage_stats["submit_queue"].append(time.perf_counter() - _ts3)
 
     def collect_batch(self) -> List[List[Dict]]:
         """Return the oldest in-flight batch's results (finished by the
@@ -1290,18 +1450,34 @@ class BatchStream:
             raise item["err"]
         return item["out"]
 
-    def _finish_batch(self, frames, metas, fut) -> List[List[Dict]]:
-        """Fetch detect results, gather rank crops, classify, assemble."""
+    @staticmethod
+    def _gather_crop_u8(frame: np.ndarray, rect) -> Optional[np.ndarray]:
+        """64x64 classifier crop at ``rect`` (shortest-side scale +
+        center-crop, reference safe_crop semantics)."""
         import cv2
-        import jax.numpy as jnp
 
-        from manual_yolo_tpu.game.text import VALID_CARD_RANKS, normalize_rank_text
+        ys, xs, ye, xe = rect
+        crop = frame[ys:ye, xs:xe]
+        if crop.size == 0:
+            return None
+        ch, cw = crop.shape[:2]
+        s = 64 / min(ch, cw)
+        nh, nw = max(64, round(ch * s)), max(64, round(cw * s))
+        resized = cv2.resize(crop, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        t, l = (nh - 64) // 2, (nw - 64) // 2
+        return resized[t : t + 64, l : l + 64]
 
-        packed = np.asarray(fut).reshape(self.B, self.max_det, 7)
+    def _assemble_dets(self, frames, metas, packed):
+        """Per-frame detection dicts + rank-crop candidates.
+
+        Candidates carry hysteresis-stabilised rects and a deterministic
+        slot order (class id, then rect): detector boxes jitter a few px
+        frame to frame and NMS order swaps under photometric noise, which
+        would otherwise make the slot-wise crop delta compare different
+        cards / shifted content."""
         results: List[List[Dict]] = []
-        crops = np.zeros((self.B * self.max_rank, 64, 64, 3), np.uint8)
-        crop_refs: List[Tuple[int, int]] = []  # (flat_slot, (frame_i, det_i))
-
+        all_cands: List[List[Tuple]] = []  # per frame: (cid, rect, det_i)
+        p = self.crop_pad
         for bi in range(self.B):
             frame = frames[bi]
             r, (top, left), _ = metas[bi]
@@ -1320,13 +1496,7 @@ class BatchStream:
                 for i in range(n)
             ]
             results.append(dets)
-            # candidate rank crops, with hysteresis-stabilised rects and a
-            # deterministic slot order (class id, then rect): detector boxes
-            # jitter a few px frame to frame and NMS order swaps under
-            # photometric noise, which would otherwise make the slot-wise
-            # crop delta compare different cards / shifted content
             cands = []
-            p = self.crop_pad
             for i in range(n):
                 cid = int(packed[bi, i, 5])
                 if cid not in self._rank_ids:
@@ -1339,35 +1509,107 @@ class BatchStream:
                 )
                 cands.append((cid, rect, i))
             cands.sort(key=lambda c: c[:2])
-            for taken, (cid, rect, i) in enumerate(cands[: self.max_rank]):
-                ys, xs, ye, xe = rect
-                crop = frame[ys:ye, xs:xe]
-                if crop.size == 0:
-                    continue
-                ch, cw = crop.shape[:2]
-                s = 64 / min(ch, cw)
-                nh, nw = max(64, round(ch * s)), max(64, round(cw * s))
-                resized = cv2.resize(crop, (nw, nh), interpolation=cv2.INTER_LINEAR)
-                t, l = (nh - 64) // 2, (nw - 64) // 2
-                slot = bi * self.max_rank + taken
-                crops[slot] = resized[t : t + 64, l : l + 64]
-                crop_refs.append((slot, (bi, i)))
+            all_cands.append(cands[: self.max_rank])
+        return results, all_cands
 
+    def _apply_rank_prob(self, results, bi, di, prob_row) -> None:
+        from manual_yolo_tpu.game.text import VALID_CARD_RANKS, normalize_rank_text
+
+        t = int(np.argmax(prob_row))
+        conf_t = float(prob_row[t])
+        cname = results[bi][di]["class_name"]
+        thr = 0.20 if ("turn" in cname or "river" in cname) else 0.40
+        if conf_t >= thr:
+            pred = self.rank_names.get(t, "")
+            cleaned = normalize_rank_text(pred)
+            results[bi][di]["ocr_text"] = (
+                cleaned if cleaned in VALID_CARD_RANKS else pred.upper()
+            )
+
+    def _publish_pred_rects(self, all_cands) -> None:
+        """Expose this batch's (class id, rect) slots to the submit thread
+        as the next batches' crop predictions (atomic list swap)."""
+        self._pred_rects = [
+            [(cid, rect) for cid, rect, _ in cands] for cands in all_cands
+        ]
+
+    def _finish_batch(self, frames, metas, fut) -> List[List[Dict]]:
+        """Fetch detect results, gather rank crops, classify, assemble."""
+        t0 = time.perf_counter()
+        packed = np.asarray(fut).reshape(self.B, self.max_det, 7)
+        t1 = time.perf_counter()
+        self.stage_stats["fetch_wait"].append(t1 - t0)
+        results, all_cands = self._assemble_dets(frames, metas, packed)
+        crops = np.zeros((self.B * self.max_rank, 64, 64, 3), np.uint8)
+        crop_refs: List[Tuple[int, int]] = []  # (flat_slot, (frame_i, det_i))
+        for bi, cands in enumerate(all_cands):
+            for j, (cid, rect, i) in enumerate(cands):
+                c = self._gather_crop_u8(frames[bi], rect)
+                if c is None:
+                    continue
+                slot = bi * self.max_rank + j
+                crops[slot] = c
+                crop_refs.append((slot, (bi, i)))
         if crop_refs:
             probs = np.asarray(
                 self._classify_crops(crops)
             ).reshape(self.B * self.max_rank, -1)
             for slot, (bi, di) in crop_refs:
-                t = int(np.argmax(probs[slot]))
-                conf_t = float(probs[slot][t])
-                cname = results[bi][di]["class_name"]
-                thr = 0.20 if ("turn" in cname or "river" in cname) else 0.40
-                if conf_t >= thr:
-                    pred = self.rank_names.get(t, "")
-                    cleaned = normalize_rank_text(pred)
-                    results[bi][di]["ocr_text"] = (
-                        cleaned if cleaned in VALID_CARD_RANKS else pred.upper()
+                self._apply_rank_prob(results, bi, di, probs[slot])
+        self._publish_pred_rects(all_cands)
+        self.stage_stats["finish_tail"].append(time.perf_counter() - t1)
+        return results
+
+    def _finish_batch_fused(self, frames, metas, fut, pred) -> List[List[Dict]]:
+        """Fused-mode tail: the fetch already carries the rank
+        probabilities computed on the PREDICTED crops. Each actual
+        detection whose stabilised rect matches its frame's prediction
+        uses the fused probability row; the rest (new/moved cards — rare
+        on static UI) are re-gathered and classified in one fallback
+        call."""
+        t0 = time.perf_counter()
+        flat = np.asarray(fut)
+        t1 = time.perf_counter()
+        self.stage_stats["fetch_wait"].append(t1 - t0)
+        nd = self.B * self.max_det * 7
+        packed = flat[:nd].reshape(self.B, self.max_det, 7)
+        fused_probs = flat[nd:].reshape(self.B * self.max_rank, -1)
+        results, all_cands = self._assemble_dets(frames, metas, packed)
+        miss_crops = None
+        miss_refs: List[Tuple[int, int]] = []
+        for bi, cands in enumerate(all_cands):
+            slot_of = {cr: j for j, cr in enumerate(pred[bi])}
+            for cid, rect, i in cands:
+                j = slot_of.get((cid, rect))
+                if j is not None and j < self.max_rank:
+                    self.fused_hits += 1
+                    self._apply_rank_prob(
+                        results, bi, i, fused_probs[bi * self.max_rank + j]
                     )
+                    continue
+                self.fused_misses += 1
+                c = self._gather_crop_u8(frames[bi], rect)
+                if c is None:
+                    continue
+                if miss_crops is None:
+                    miss_crops = np.zeros(
+                        (self.B * self.max_rank, 64, 64, 3), np.uint8
+                    )
+                k = len(miss_refs)
+                if k >= self.B * self.max_rank:
+                    break
+                miss_crops[k] = c
+                miss_refs.append((bi, i))
+        if miss_refs:
+            import jax.numpy as jnp
+
+            probs = np.asarray(
+                self._classify(self.cls_params, jnp.asarray(miss_crops.reshape(-1)))
+            ).reshape(self.B * self.max_rank, -1)
+            for k, (bi, di) in enumerate(miss_refs):
+                self._apply_rank_prob(results, bi, di, probs[k])
+        self._publish_pred_rects(all_cands)
+        self.stage_stats["finish_tail"].append(time.perf_counter() - t1)
         return results
 
     def _stable_rect(self, cid: int, rect: Tuple[int, int, int, int]):
@@ -1424,6 +1666,25 @@ class BatchStream:
             self._dev_prev_crops = dev_crops
             self._prev_crops = crops
         return probs
+
+    def stage_summary(self, skip: int = 0) -> Dict[str, Dict[str, float]]:
+        """Per-stage wall-time summary in ms (mean/p50/max over recorded
+        batches, optionally skipping the first ``skip`` warmup entries)."""
+        out = {}
+        for k, v in self.stage_stats.items():
+            vs = sorted(v[skip:] if len(v) > skip else v)
+            if not vs:
+                continue
+            out[k] = {
+                "mean_ms": round(1e3 * sum(vs) / len(vs), 2),
+                "p50_ms": round(1e3 * vs[len(vs) // 2], 2),
+                "max_ms": round(1e3 * vs[-1], 2),
+                "n": len(vs),
+            }
+        return out
+
+    def reset_stage_stats(self) -> None:
+        self.stage_stats.clear()
 
     @property
     def in_flight(self) -> int:

@@ -600,3 +600,57 @@ def test_stable_rect_hysteresis():
     for k in range(20):
         sr(stub, 5, (1000 * k, 0, 1000 * k + 50, 50))
     assert len(stub._rect_cache[5]) <= 8
+
+
+def test_batch_stream_fused_predictive_classify_lossless():
+    """The fused predictive-classify path (crops gathered at predicted
+    rects, shipped with the canvas payload, detect+classify as one
+    program) must produce results identical to a raw-mode stream fed the
+    same frames — including rank texts resolved through the miss-fallback
+    for detections whose rect prediction fails."""
+    from manual_yolo_tpu.runtime.serving import BatchStream
+
+    det_spec = yolov8.build_spec("detect", "n", nc=64)
+    cls_spec = yolov8.build_spec("classify", "n", nc=13)
+    det_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(0), det_spec), det_spec
+    )
+    cls_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(1), cls_spec), cls_spec
+    )
+
+    def mk(**kw):
+        return BatchStream(
+            det_params=det_params, det_spec=det_spec,
+            cls_params=cls_params, cls_spec=cls_spec,
+            names=taxonomy.CLASSES, rank_names={i: str(i) for i in range(13)},
+            batch=4, imgsz=192, conf=1e-6, compute_dtype=jnp.float32,
+            use_pallas_nms=False, **kw,
+        )
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (240, 400, 3), np.uint8)
+
+    def frame(t, i):
+        f = np.clip(
+            base.astype(np.int16) + (t + i) % 5 - 2, 0, 255
+        ).astype(np.uint8)
+        y = 20 * ((t * 7 + i * 3) % 9)
+        f[y : y + 30, 50:90] = rng.integers(0, 256, (30, 40, 3), np.uint8)
+        return f
+
+    sd, sr = mk(), mk(delta=False)
+    try:
+        for t in range(5):
+            fr = [frame(t, i) for i in range(4)]
+            sd.submit_batch(fr)
+            sr.submit_batch(fr)
+            assert sd.collect_batch() == sr.collect_batch()
+        n_fused = (
+            sd.crop_mode_counts["fused_segs"] + sd.crop_mode_counts["fused_raw"]
+        )
+        assert n_fused >= 3, f"fused path never engaged: {sd.crop_mode_counts}"
+        assert sd.fused_hits > 0
+    finally:
+        sd.close()
+        sr.close()

@@ -1,0 +1,56 @@
+"""Per-stage wall timings of the bench's evolving stream on the real chip.
+
+Prints BatchStream.stage_summary() after a measured run — shows which
+pipeline stage (submit letterbox/encode/crops, dispatcher put, device
+compute + fetch, finisher tail) bounds the steady-state batch period.
+
+Usage: python tools/stream_stage_probe.py [n_batches]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main():
+    import bench
+
+    bench._enable_compile_cache()
+    stream = bench.build_stream()
+    frames = bench.make_frames()
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+
+    fps = bench.measure_stream(stream, frames, meas_batches=0)  # warm only
+    stream.reset_stage_stats()
+    t0 = time.perf_counter()
+
+    def batch_at(t):
+        return [frames[(t + i) % len(frames)] for i in range(bench.BATCH)]
+
+    done = 0
+    for t in range(n):
+        stream.submit_batch(batch_at(t))
+        if stream.in_flight > bench.IN_FLIGHT:
+            done += len(stream.collect_batch())
+    while stream.in_flight:
+        done += len(stream.collect_batch())
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "fps": round(done / wall, 1),
+        "batch_period_ms": round(1e3 * wall / n, 1),
+        "stages": stream.stage_summary(),
+        "modes": dict(stream.mode_counts),
+        "crop_modes": dict(stream.crop_mode_counts),
+        "fused_hits": stream.fused_hits,
+        "fused_misses": stream.fused_misses,
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()
