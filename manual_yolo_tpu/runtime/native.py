@@ -81,6 +81,11 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p,
         ]
+        lib.decimate_u8.restype = None
+        lib.decimate_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+        ]
         lib.nibble_encode.restype = ctypes.c_int32
         lib.nibble_encode.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
@@ -366,6 +371,51 @@ def seg_encode(
     if not ok:
         return None
     return int(counts[0]), int(counts[1]), int(counts[2]), int(counts[3])
+
+
+def decimate_u8_into(frame: np.ndarray, dst: np.ndarray, s: int) -> bool:
+    """dst[y,x,c] = frame[s*y+off, s*x+off, c] with off=(s-1)//2 — byte-exact
+    cv2 INTER_LINEAR for an ODD integer downscale (the bilinear sample
+    position is integral, so the kernel weight collapses onto one source
+    pixel; verified against cv2 in tests). Returns False when the native
+    lib is unavailable or inputs don't qualify — caller falls back to cv2."""
+    lib = get_lib()
+    if lib is None or s % 2 == 0 or s < 3:
+        return False
+    oh, ow = dst.shape[:2]
+    h, w = frame.shape[:2]
+    if h != oh * s or w != ow * s:
+        return False
+    if not (frame.flags.c_contiguous and dst.flags.c_contiguous):
+        return False
+    lib.decimate_u8(
+        frame.ctypes.data_as(ctypes.c_char_p), w, s, (s - 1) // 2,
+        dst.ctypes.data_as(ctypes.c_char_p), oh, ow,
+    )
+    return True
+
+
+_libc = ctypes.CDLL(None)
+_libc.memcmp.restype = ctypes.c_int
+_libc.memcmp.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+
+
+def arrays_equal(a: np.ndarray, b: np.ndarray) -> bool:
+    """Byte equality via libc memcmp.
+
+    ``np.array_equal`` always materialises a full elementwise-compare temp
+    (~4 ms for a 1920x1200x3 frame on this host); memcmp early-exits at the
+    first differing byte — effectively free for frames that changed and
+    ~6x faster even when equal. On the streaming hot path this check runs
+    once per frame per batch, so it is throughput-critical on a
+    single-core host."""
+    if a is b:
+        return True
+    if a.shape != b.shape or a.dtype != b.dtype:
+        return False
+    if not (a.flags.c_contiguous and b.flags.c_contiguous):
+        return bool(np.array_equal(a, b))
+    return _libc.memcmp(a.ctypes.data, b.ctypes.data, a.nbytes) == 0
 
 
 def crop_u8(img: np.ndarray, y1: int, x1: int, y2: int, x2: int) -> np.ndarray:

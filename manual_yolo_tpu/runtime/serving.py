@@ -392,6 +392,14 @@ def _segs_decoder(nslots, H, W, top, nh, segw, Np, pad_value=114):
     return decode
 
 
+def _copy_results(out):
+    """Pristine copy of a batch's results (list[list[dict]], scalar values
+    except the bbox list). ~10x faster than copy.deepcopy, which walks the
+    memo machinery per object — this runs once per batch on the finisher
+    thread of a single-core host."""
+    return [[dict(d, bbox=list(d["bbox"])) for d in dets] for dets in out]
+
+
 class BatchStream:
     """Batched throughput pipeline: amortise tunnel round trips over B frames.
 
@@ -639,6 +647,8 @@ class BatchStream:
         self._pred_rects: List[List[Tuple[int, Tuple[int, int, int, int]]]] = [
             [] for _ in range(batch)
         ]
+        # per-slot TTL ages for predicted pairs (finisher thread only)
+        self._pred_ages: List[Dict] = [{} for _ in range(batch)]
         # predicted-plane delta chain, disjoint from the finisher's
         # _prev_crops chain: encode reference written only by the submit
         # thread, device reference written only by the dispatcher (zeros
@@ -649,6 +659,8 @@ class BatchStream:
         )
         self._pred_segs_bufs: Optional[Dict] = None
         self._fused_progs: Dict[Tuple, object] = {}
+        self._cls_spec = cls_spec
+        self._classify_small_progs: Dict[int, object] = {}
         self.fused_hits = 0
         self.fused_misses = 0
         self._classify_segs_progs: Dict[int, object] = {}
@@ -768,41 +780,79 @@ class BatchStream:
 
         self._work_q: "queue_mod.Queue" = queue_mod.Queue()
 
+        # two-stage finisher: stage A (worker) fetches + assembles +
+        # DISPATCHES the miss-fallback classify without blocking on it;
+        # stage B (applier) blocks on the fallback probabilities and
+        # applies them. The miss round trip is mostly link latency, not
+        # CPU — overlapping it with the next batch's assembly buys its
+        # full ~60 ms back on every batch that has a prediction miss.
+        self._apply_q: "queue_mod.Queue" = queue_mod.Queue()
+        self._applier_has_last = False
+
         def _worker():
-            import copy as copy_mod
-
-            import jax as _jax
-
-            last_out = None
             while True:
                 item = self._work_q.get()
                 if item is None:
+                    self._apply_q.put(None)
                     return
                 try:
-                    if item["memo"] and last_out is not None:
-                        # identical input -> identical output; still await
-                        # the dispatched detect for device backpressure
-                        _jax.block_until_ready(item["fut"])
-                        item["out"] = copy_mod.deepcopy(last_out)
-                        self.memo_hits += 1
+                    if item["memo"] and self._applier_has_last:
+                        # identical input -> identical output; stage B
+                        # still awaits the dispatched detect for device
+                        # backpressure
+                        item["_memo"] = True
                     elif "pred" in item:
-                        item["out"] = self._finish_batch_fused(
+                        item["_apply"] = self._finish_batch_fused(
                             item["frames"], item["metas"], item["fut"],
                             item["pred"],
                         )
-                        last_out = copy_mod.deepcopy(item["out"])
                     else:
                         item["out"] = self._finish_batch(
                             item["frames"], item["metas"], item["fut"]
                         )
-                        # pristine copy: callers may mutate what they collect
-                        last_out = copy_mod.deepcopy(item["out"])
                 except BaseException as e:  # re-raised in collect_batch
+                    item["err"] = e
+                    item["evt"].set()
+                    continue
+                self._apply_q.put(item)
+
+        def _applier():
+            import jax as _jax
+
+            last_out = None
+            while True:
+                item = self._apply_q.get()
+                if item is None:
+                    return
+                try:
+                    t0 = time.perf_counter()
+                    if item.pop("_memo", False):
+                        _jax.block_until_ready(item["fut"])
+                        if last_out is None:
+                            raise RuntimeError("memo batch before any result")
+                        item["out"] = _copy_results(last_out)
+                        self.memo_hits += 1
+                    elif "_apply" in item:
+                        results, probs_fut, ns, miss_refs = item.pop("_apply")
+                        if miss_refs:
+                            probs = np.asarray(probs_fut).reshape(ns, -1)
+                            for k, (bi, di) in enumerate(miss_refs):
+                                self._apply_rank_prob(results, bi, di, probs[k])
+                        item["out"] = results
+                    # pristine copy: callers may mutate what they collect
+                    last_out = _copy_results(item["out"])
+                    self._applier_has_last = True
+                    self.stage_stats["apply_wait"].append(
+                        time.perf_counter() - t0
+                    )
+                except BaseException as e:
                     item["err"] = e
                 item["evt"].set()
 
         self._worker_thread = threading.Thread(target=_worker, daemon=True)
         self._worker_thread.start()
+        self._applier_thread = threading.Thread(target=_applier, daemon=True)
+        self._applier_thread.start()
         self._dispatch_thread = threading.Thread(target=_dispatcher, daemon=True)
         self._dispatch_thread.start()
 
@@ -951,6 +1001,28 @@ class BatchStream:
 
             self._classify_segs_progs[key] = jax.jit(classify_segs)
         return self._classify_segs_progs[key]
+
+    def _get_classify_small(self, ns: int):
+        """Cached classify program over ``ns`` crops (power-of-2 bucket).
+        The fused-mode miss fallback typically re-classifies a handful of
+        crops; uploading the full B*max_rank plane (~3 MB) for that costs
+        more link time than the whole batch's delta payload."""
+        if ns not in self._classify_small_progs:
+            import jax
+            import jax.numpy as jnp
+
+            from manual_yolo_tpu.models import yolov8
+
+            cls_spec = self._cls_spec
+
+            def classify_small(params, crops_flat_u8):
+                crops = crops_flat_u8.reshape(ns, 64, 64, 3)
+                x = crops[..., ::-1].astype(jnp.float32) / 255.0
+                logits = yolov8.forward_classify(params, cls_spec, x, jnp.float32)
+                return jax.nn.softmax(logits, axis=-1).reshape(-1)
+
+            self._classify_small_progs[ns] = jax.jit(classify_small)
+        return self._classify_small_progs[ns]
 
     def _crop_payload_total(self, npk: int) -> int:
         """Static byte length of a crop-plane segs payload with bucket npk."""
@@ -1275,8 +1347,16 @@ class BatchStream:
                 dst[:] = 114
             self._slot_geom[key] = (nh, nw)
         if nw == self.imgsz:
-            cv2.resize(frame, (nw, nh), dst=dst[top : top + nh],
-                       interpolation=cv2.INTER_LINEAR)
+            # odd-integer downscale (1920x1200 -> 640-canvas is exactly 3:1):
+            # cv2 INTER_LINEAR degenerates to point sampling — the native
+            # strided gather is byte-exact at ~1/4 the cost
+            s = round(1 / r) if r > 0 else 0
+            if not (
+                s >= 3 and h == nh * s and w == nw * s
+                and native.decimate_u8_into(frame, dst[top : top + nh], s)
+            ):
+                cv2.resize(frame, (nw, nh), dst=dst[top : top + nh],
+                           interpolation=cv2.INTER_LINEAR)
         else:
             dst[top : top + nh, left : left + nw] = cv2.resize(
                 frame, (nw, nh), interpolation=cv2.INTER_LINEAR
@@ -1303,7 +1383,7 @@ class BatchStream:
             if (
                 pf is not None
                 and self._prev_staging is not None
-                and (pf is f or (pf.shape == f.shape and np.array_equal(pf, f)))
+                and native.arrays_equal(pf, f)
             ):
                 if staging is not self._prev_staging:
                     staging[i] = self._prev_staging[i]
@@ -1324,7 +1404,7 @@ class BatchStream:
         self.stage_stats["submit_letterbox"].append(_ts1 - _ts0)
         mode, payload, seg_bucket = "raw", None, None
         if self.delta and self._prev_staging is not None:
-            if all_unchanged or np.array_equal(staging, self._prev_staging):
+            if all_unchanged or native.arrays_equal(staging, self._prev_staging):
                 mode = "skip"
             else:
                 # active decodes touch only the content rows, so the
@@ -1528,10 +1608,37 @@ class BatchStream:
 
     def _publish_pred_rects(self, all_cands) -> None:
         """Expose this batch's (class id, rect) slots to the submit thread
-        as the next batches' crop predictions (atomic list swap)."""
-        self._pred_rects = [
-            [(cid, rect) for cid, rect, _ in cands] for cands in all_cands
-        ]
+        as the next batches' crop predictions (atomic list swap).
+
+        Pairs keep a short TTL: a borderline detection flickering out for
+        a batch or two stays predicted, so its reappearance is a fused HIT
+        instead of a miss round trip. Previous slot order is preserved for
+        surviving pairs (keeps the crop-plane delta aligned); new pairs
+        fill the tail up to max_rank."""
+        out, ages_out = [], []
+        for bi, cands in enumerate(all_cands):
+            cur = [(cid, rect) for cid, rect, _ in cands]
+            curset = set(cur)
+            ages = self._pred_ages[bi]
+            merged = []
+            for p in self._pred_rects[bi]:
+                if p in curset:
+                    ages[p] = 0
+                    merged.append(p)
+                else:
+                    a = ages.get(p, 0) + 1
+                    if a <= 2:
+                        ages[p] = a
+                        merged.append(p)
+            for p in cur:
+                if p not in merged:
+                    ages[p] = 0
+                    merged.append(p)
+            merged = merged[: self.max_rank]
+            out.append(merged)
+            ages_out.append({p: ages.get(p, 0) for p in merged})
+        self._pred_rects = out
+        self._pred_ages = ages_out
 
     def _finish_batch(self, frames, metas, fut) -> List[List[Dict]]:
         """Fetch detect results, gather rank crops, classify, assemble."""
@@ -1560,13 +1667,14 @@ class BatchStream:
         self.stage_stats["finish_tail"].append(time.perf_counter() - t1)
         return results
 
-    def _finish_batch_fused(self, frames, metas, fut, pred) -> List[List[Dict]]:
-        """Fused-mode tail: the fetch already carries the rank
+    def _finish_batch_fused(self, frames, metas, fut, pred):
+        """Fused-mode tail, stage A: the fetch already carries the rank
         probabilities computed on the PREDICTED crops. Each actual
         detection whose stabilised rect matches its frame's prediction
         uses the fused probability row; the rest (new/moved cards — rare
-        on static UI) are re-gathered and classified in one fallback
-        call."""
+        on static UI) are re-gathered and their classify DISPATCHED (not
+        awaited — jax dispatch is async; the applier thread blocks on the
+        result). Returns (results, probs_future, bucket, miss_refs)."""
         t0 = time.perf_counter()
         flat = np.asarray(fut)
         t1 = time.perf_counter()
@@ -1600,17 +1708,22 @@ class BatchStream:
                     break
                 miss_crops[k] = c
                 miss_refs.append((bi, i))
+        probs_fut, ns = None, 0
         if miss_refs:
             import jax.numpy as jnp
 
-            probs = np.asarray(
-                self._classify(self.cls_params, jnp.asarray(miss_crops.reshape(-1)))
-            ).reshape(self.B * self.max_rank, -1)
-            for k, (bi, di) in enumerate(miss_refs):
-                self._apply_rank_prob(results, bi, di, probs[k])
+            # smallest power-of-2 crop bucket covering the misses: the
+            # fallback round trip's cost is dominated by upload bytes on
+            # the weak link, and misses are usually a handful per batch
+            ns = 8
+            while ns < len(miss_refs):
+                ns *= 2
+            probs_fut = self._get_classify_small(ns)(
+                self.cls_params, jnp.asarray(miss_crops[:ns].reshape(-1))
+            )
         self._publish_pred_rects(all_cands)
         self.stage_stats["finish_tail"].append(time.perf_counter() - t1)
-        return results
+        return results, probs_fut, ns, miss_refs
 
     def _stable_rect(self, cid: int, rect: Tuple[int, int, int, int]):
         """Hysteresis for crop rects: when a new rect is within the pad
@@ -1644,7 +1757,7 @@ class BatchStream:
 
         flat = crops.reshape(-1)
         if self.delta and self._prev_crops is not None:
-            if np.array_equal(crops, self._prev_crops):
+            if native.arrays_equal(crops, self._prev_crops):
                 self.crop_mode_counts["skip"] += 1
                 return self._classify(self.cls_params, self._dev_prev_crops)
             enc = self._encode_crop_segs(crops)
@@ -1700,6 +1813,7 @@ class BatchStream:
         self._work_q.put(None)
         self._dispatch_thread.join(timeout=5)
         self._worker_thread.join(timeout=5)
+        self._applier_thread.join(timeout=5)
 
     def __enter__(self):
         return self

@@ -275,3 +275,36 @@ def test_tribit_encode_matches_numpy_reference():
             assert ok is True, case
             np.testing.assert_array_equal(out[:nb], ref[0], err_msg=case)
             np.testing.assert_array_equal(out[nb:], ref[1], err_msg=case)
+
+
+def test_arrays_equal_memcmp():
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 255, (120, 192, 3), np.uint8)
+    assert native.arrays_equal(a, a)
+    assert native.arrays_equal(a, a.copy())
+    b = a.copy(); b[60, 90, 1] ^= 1
+    assert not native.arrays_equal(a, b)
+    assert not native.arrays_equal(a, a[:60])  # shape mismatch
+    # non-contiguous falls back to numpy
+    v = a[:, ::2]
+    assert native.arrays_equal(v, v.copy())
+
+
+def test_decimate_u8_matches_cv2_inter_linear():
+    """Odd-integer downscale: cv2 INTER_LINEAR == point sampling at
+    offset (s-1)//2 (the bilinear position is integral), so the native
+    gather must be byte-exact."""
+    import cv2
+
+    rng = np.random.default_rng(4)
+    for (h, w, s) in ((1200, 1920, 3), (600, 960, 3), (1000, 1500, 5)):
+        f = rng.integers(0, 255, (h, w, 3), np.uint8)
+        dst = np.zeros((h // s, w // s, 3), np.uint8)
+        if not native.decimate_u8_into(f, dst, s):
+            return  # no native lib on this machine
+        ref = cv2.resize(f, (w // s, h // s), interpolation=cv2.INTER_LINEAR)
+        np.testing.assert_array_equal(dst, ref)
+    # even stride / mismatched geometry must be refused
+    f = rng.integers(0, 255, (800, 1280, 3), np.uint8)
+    assert not native.decimate_u8_into(f, np.zeros((400, 640, 3), np.uint8), 2)
+    assert not native.decimate_u8_into(f, np.zeros((267, 427, 3), np.uint8), 3)

@@ -28,6 +28,7 @@ def main():
 
     fps = bench.measure_stream(stream, frames, meas_batches=0)  # warm only
     stream.reset_stage_stats()
+    h0, m0 = stream.fused_hits, stream.fused_misses
     t0 = time.perf_counter()
 
     def batch_at(t):
@@ -47,8 +48,8 @@ def main():
         "stages": stream.stage_summary(),
         "modes": dict(stream.mode_counts),
         "crop_modes": dict(stream.crop_mode_counts),
-        "fused_hits": stream.fused_hits,
-        "fused_misses": stream.fused_misses,
+        "fused_hits": stream.fused_hits - h0,
+        "fused_misses": stream.fused_misses - m0,
     }, indent=1))
 
 
