@@ -663,6 +663,7 @@ class BatchStream:
         self._classify_small_progs: Dict[int, object] = {}
         self.fused_hits = 0
         self.fused_misses = 0
+        self.fallback_batches = 0
         self._classify_segs_progs: Dict[int, object] = {}
         self.crop_mode_counts = {
             "raw": 0, "segs": 0, "skip": 0, "fused_segs": 0, "fused_raw": 0,
@@ -1627,7 +1628,7 @@ class BatchStream:
                     merged.append(p)
                 else:
                     a = ages.get(p, 0) + 1
-                    if a <= 2:
+                    if a <= 6:
                         ages[p] = a
                         merged.append(p)
             for p in cur:
@@ -1710,6 +1711,7 @@ class BatchStream:
                 miss_refs.append((bi, i))
         probs_fut, ns = None, 0
         if miss_refs:
+            self.fallback_batches += 1
             import jax.numpy as jnp
 
             # smallest power-of-2 crop bucket covering the misses: the

@@ -29,6 +29,7 @@ def main():
     fps = bench.measure_stream(stream, frames, meas_batches=0)  # warm only
     stream.reset_stage_stats()
     h0, m0 = stream.fused_hits, stream.fused_misses
+    fb0 = stream.fallback_batches
     t0 = time.perf_counter()
 
     def batch_at(t):
@@ -50,6 +51,7 @@ def main():
         "crop_modes": dict(stream.crop_mode_counts),
         "fused_hits": stream.fused_hits - h0,
         "fused_misses": stream.fused_misses - m0,
+        "fallback_batches": stream.fallback_batches - fb0,
     }, indent=1))
 
 
