@@ -287,20 +287,40 @@ def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
     dmx = ds.max(axis=1)  # (nseg, 3)
     dmn = ds.min(axis=1)
     span = (dmx - dmn).max(axis=1)  # (nseg,)
+    # class 5 (clamp-shift): per-SLOT shift candidate j from the first
+    # unclippable pixel per channel; a segment qualifies when it is
+    # byte-exactly clamp(prev + j)
+    pc = prev_act.reshape(B, -1, 3)
+    cc = cur_act.reshape(B, -1, 3)
+    safe = (pc >= 64) & (pc <= 191)
+    has = safe.any(axis=1)  # (B, 3)
+    idx = safe.argmax(axis=1)  # (B, 3) first safe pixel per channel
+    jj = (
+        np.take_along_axis(cc.astype(np.int16), idx[:, None, :], 1)
+        - np.take_along_axis(pc.astype(np.int16), idx[:, None, :], 1)
+    )[:, 0, :]
+    jvalid = has.all(axis=1) & (np.abs(jj) <= 63).all(axis=1)  # (B,)
+    pred = np.clip(pc.astype(np.int16) + jj[:, None, :], 0, 255)
+    sok = (
+        (cc == pred).reshape(B * nh * seg, segw * 3).all(axis=1)
+        & np.repeat(jvalid, nh * seg)
+        & (span != 0)
+    )
     cls = np.select(
-        [span == 0, span <= 1, span <= 3, span <= 7],
-        [0, 1, 2, 3], 4,
+        [span == 0, sok, span <= 1, span <= 3, span <= 7],
+        [0, 5, 1, 2, 3], 4,
     )
     out_cls[: cls.size] = cls.astype(np.uint8)
-    # biases: const -> the delta itself; 1/2/3-bit -> clipped toward 0;
-    # raw -> 0
+    # biases: const -> the delta itself; clamp-shift -> j; 1/2/3-bit ->
+    # clipped toward 0; raw -> 0
     b1 = np.minimum(np.maximum(0, dmx - 1), dmn)
     b2 = np.minimum(np.maximum(0, dmx - 1), dmn + 2)
     b3 = np.minimum(np.maximum(0, dmx - 3), dmn + 4)
+    jseg = np.repeat(jj, nh * seg, axis=0)
     bias = np.select(
-        [cls[:, None] == 0, cls[:, None] == 1, cls[:, None] == 2,
-         cls[:, None] == 3],
-        [dmn, b1, b2, b3], 0,
+        [cls[:, None] == 0, cls[:, None] == 5, cls[:, None] == 1,
+         cls[:, None] == 2, cls[:, None] == 3],
+        [dmn, jseg, b1, b2, b3], 0,
     ).astype(np.int16)
     out_bias[: cls.size * 3] = (bias.reshape(-1) % 256).astype(np.uint8)
     vflat = ds - bias[:, None, :]  # residuals per segment

@@ -291,6 +291,7 @@ def _segs_decoder(nslots, H, W, top, nh, segw, Np, pad_value=114):
             axis=-1,
         ).reshape(-1)[:nseg].astype(bool)
         is1, is2, is3, isr = cls == 1, cls == 2, cls == 3, cls == 4
+        is5 = cls == 5  # clamp-shift: cur = clamp(prev + sext(bias))
         # rank of each segment within its class == its payload slot
         # (host appends per class in the same scan order)
         i32 = jnp.int32
@@ -379,7 +380,17 @@ def _segs_decoder(nslots, H, W, top, nh, segw, Np, pad_value=114):
             )
             + biasx
         )  # uint8 wraparound -> bit-exact
-        newseg = jnp.where(isr[:, None], gr, pact + delta)
+        # class-5 lanes saturate instead of wrapping (brightness shift
+        # with clipping); bias is the signed shift mod 256
+        shifted = jnp.clip(
+            pact.astype(jnp.int16)
+            + biasx.astype(jnp.int8).astype(jnp.int16),
+            0, 255,
+        ).astype(u)
+        newseg = jnp.where(
+            isr[:, None], gr,
+            jnp.where(is5[:, None], shifted, pact + delta),
+        )
         act = newseg.reshape(nslots, nh, W, 3)
         if nh == H:
             return act.reshape(-1)

@@ -433,6 +433,15 @@ int32_t tribit_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
 //   class 3 (3-bit): span <= 7  -> v = d - bias + 4 in [0, 7],
 //                    8 values per 3 bytes, segb*3/8 payload bytes
 //   class 4 (raw):   anything   -> the segment's cur bytes verbatim
+//   class 5 (clamp-shift): cur == clamp(prev + j, 0, 255) for the SLOT's
+//                    per-channel shift candidate j -> zero payload bytes,
+//                    bias = j mod 256 (decoder sign-extends). This is the
+//                    brightness-change primitive: a global photometric
+//                    shift with clipping makes every segment class 5, so
+//                    the payload collapses to the class/flag arrays. j is
+//                    detected from the slot's first unclippable pixel per
+//                    channel (prev in [64, 191], |j| <= 63) and every
+//                    segment is verified byte-exactly before classifying.
 //
 // Biases are clipped toward 0 (zero-delta regions stay maximally
 // transit-compressible); all arithmetic is mod 256 -> bit-exact. Payloads
@@ -452,6 +461,26 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
   const int64_t segb = (int64_t)segw * 3;  // % 24 == 0
   int64_t k1 = 0, k2 = 0, k3 = 0, kr = 0, seg_i = 0;
   for (int32_t s = 0; s < nslots; ++s) {
+    // per-slot clamp-shift candidate: first safe pixel per channel
+    int16_t jj[3] = {0, 0, 0};
+    bool jvalid;
+    {
+      const uint8_t *pbase = prev + (size_t)s * slot_stride;
+      const uint8_t *cbase = cur + (size_t)s * slot_stride;
+      const int64_t n = (int64_t)nh * row_bytes;
+      bool found[3] = {false, false, false};
+      int remaining = 3;
+      for (int64_t i = 0; i < n && remaining; ++i) {
+        const int ch = (int)(i % 3);
+        if (!found[ch] && pbase[i] >= 64 && pbase[i] <= 191) {
+          found[ch] = true;
+          --remaining;
+          jj[ch] = (int16_t)cbase[i] - (int16_t)pbase[i];
+        }
+      }
+      jvalid = remaining == 0 && jj[0] >= -63 && jj[0] <= 63 &&
+               jj[1] >= -63 && jj[1] <= 63 && jj[2] >= -63 && jj[2] <= 63;
+    }
     for (int32_t r = 0; r < nh; ++r) {
       const uint8_t *crow = cur + (size_t)s * slot_stride + (size_t)r * row_bytes;
       const uint8_t *prow = prev + (size_t)s * slot_stride + (size_t)r * row_bytes;
@@ -482,7 +511,35 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
         for (int ch = 0; ch < 3; ++ch)
           if (cmx[ch] - cmn[ch] > span) span = (int16_t)(cmx[ch] - cmn[ch]);
         uint8_t *bias = out_bias + (size_t)seg_i * 3;
-        if (span == 0) {
+        bool shifted = false;
+        if (span != 0 && jvalid) {
+          // envelope pre-check (implied by a passing verify: clamp-shift
+          // deltas lie in [min(j,0), max(j,0)] per channel), then exact
+          // byte verification
+          bool env = true;
+          for (int ch = 0; ch < 3 && env; ++ch) {
+            const int16_t lo = jj[ch] < 0 ? jj[ch] : (int16_t)0;
+            const int16_t hi = jj[ch] > 0 ? jj[ch] : (int16_t)0;
+            env = cmn[ch] >= lo && cmx[ch] <= hi;
+          }
+          if (env) {
+            bool ok = true;
+            for (int64_t i = 0; i < segb && ok; ++i) {
+              int16_t v = (int16_t)p[i] + jj[i % 3];
+              if (v < 0) v = 0;
+              if (v > 255) v = 255;
+              ok = c[i] == (uint8_t)v;
+            }
+            if (ok) {
+              shifted = true;
+              out_cls[seg_i] = 5;
+              for (int ch = 0; ch < 3; ++ch) bias[ch] = (uint8_t)jj[ch];
+            }
+          }
+        }
+        if (shifted) {
+          // zero payload bytes
+        } else if (span == 0) {
           out_cls[seg_i] = 0;
           for (int ch = 0; ch < 3; ++ch) bias[ch] = (uint8_t)cmn[ch];
         } else if (span <= 1) {

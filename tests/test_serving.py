@@ -324,15 +324,19 @@ def test_seg_encode_native_matches_numpy():
     prev = rng.integers(0, 256, (B, H, W, 3), np.uint8)
     cur = prev.copy()
     act = slice(top, top + nh)
-    # slot 0: +3 constant shift (const segs, clipped pixels -> 2/3-bit);
-    # slot 1: tiny per-pixel noise (2/3-bit); slot 2: repaint (raw);
-    # slot 3: +1 shift (clip-boundary segments span 1 -> 1-bit class)
+    # slot 0: +3 constant shift (const segs unclipped; clipped segments are
+    # byte-exact clamp(prev+3) -> class 5); slot 1: tiny per-pixel noise
+    # (2/3-bit); slot 2: repaint (raw); slot 3: random 0/1 per-pixel
+    # increments (span 1, NOT a uniform shift -> 1-bit class)
     cur[0, act] = np.clip(cur[0, act].astype(np.int16) + 3, 0, 255).astype(np.uint8)
     cur[1, act] = np.clip(
         cur[1, act].astype(np.int16) + rng.integers(-2, 3, (nh, W, 3)), 0, 255
     ).astype(np.uint8)
     cur[2, top + 10 : top + 30, 10:40] = rng.integers(0, 256, (20, 30, 3), np.uint8)
-    cur[3, act] = np.clip(cur[3, act].astype(np.int16) + 1, 0, 255).astype(np.uint8)
+    inc = rng.integers(0, 2, (nh, W, 3)).astype(np.int16)
+    cur[3, act] = np.clip(
+        cur[3, act].astype(np.int16) + inc, 0, 255
+    ).astype(np.uint8)
 
     nseg = B * nh * (W // segw)
     segb = segw * 3
@@ -354,7 +358,9 @@ def test_seg_encode_native_matches_numpy():
     assert cn == cp and cn is not None
     k1, k2, k3, kr = cn
     assert k1 > 0 and k2 > 0 and k3 > 0 and kr > 0  # all payload classes
-    assert np.bincount(bn[5], minlength=5)[0] > 0  # const segments too
+    cls_hist = np.bincount(bn[5], minlength=6)
+    assert cls_hist[0] > 0  # const segments too
+    assert cls_hist[5] > 0  # clamp-shift segments (clipped +3 shift)
     for a, b in zip(bn, bp):
         assert np.array_equal(a, b)
 
