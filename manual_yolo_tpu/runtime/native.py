@@ -282,7 +282,12 @@ def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
     B, nh, W, _ = cur_act.shape
     seg = W // segw
     segb = segw * 3
-    d = cur_act.astype(np.int16) - prev_act.astype(np.int16)
+    # RECENTERED mod-256 delta domain (mirror of the native pass): a
+    # wrapped delta classifies via its residue; reconstruction is mod-256
+    # throughout, so this is bit-exact
+    d = (
+        ((cur_act - prev_act) ^ np.uint8(0x80)).astype(np.int16) - 128
+    )
     ds = d.reshape(B * nh * seg, segw, 3)
     dmx = ds.max(axis=1)  # (nseg, 3)
     dmn = ds.min(axis=1)

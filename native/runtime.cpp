@@ -487,25 +487,33 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
       for (int32_t g = 0; g < nsegrow; ++g, ++seg_i) {
         const uint8_t *c = crow + (size_t)g * segb;
         const uint8_t *p = prow + (size_t)g * segb;
-        // per-channel delta min/max (24-lane accumulators; segb % 24 == 0)
-        int16_t mn[24], mx[24];
+        // per-channel delta min/max over the RECENTERED mod-256 domain:
+        // v = (c - p) ^ 0x80 maps delta d to d + 128 (mod 256), so byte
+        // min/max classify the span without int16 widening (the pass
+        // autovectorizes as uint8 lanes — it reads 2x the payload bytes
+        // and dominates encode time). Downstream reconstruction is
+        // mod-256 throughout, so a wrapped delta (|d| > 127) classifying
+        // via its residue is still bit-exact.
+        uint8_t mnv[24], mxv[24];
         for (int k = 0; k < 24; ++k) {
-          mn[k] = 32767;
-          mx[k] = -32768;
+          mnv[k] = 255;
+          mxv[k] = 0;
         }
         for (int64_t i = 0; i + 24 <= segb; i += 24) {
           for (int k = 0; k < 24; ++k) {
-            int16_t d = (int16_t)c[i + k] - (int16_t)p[i + k];
-            if (d < mn[k]) mn[k] = d;
-            if (d > mx[k]) mx[k] = d;
+            uint8_t v = (uint8_t)((uint8_t)(c[i + k] - p[i + k]) ^ 0x80);
+            if (v < mnv[k]) mnv[k] = v;
+            if (v > mxv[k]) mxv[k] = v;
           }
         }
         int16_t cmn[3] = {32767, 32767, 32767};
         int16_t cmx[3] = {-32768, -32768, -32768};
         for (int k = 0; k < 24; ++k) {
           int ch = k % 3;
-          if (mn[k] < cmn[ch]) cmn[ch] = mn[k];
-          if (mx[k] > cmx[ch]) cmx[ch] = mx[k];
+          int16_t lo = (int16_t)mnv[k] - 128;
+          int16_t hi = (int16_t)mxv[k] - 128;
+          if (lo < cmn[ch]) cmn[ch] = lo;
+          if (hi > cmx[ch]) cmx[ch] = hi;
         }
         int16_t span = 0;
         for (int ch = 0; ch < 3; ++ch)
