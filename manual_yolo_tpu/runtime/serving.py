@@ -819,7 +819,7 @@ class BatchStream:
                             item["pred"],
                         )
                     else:
-                        item["out"] = self._finish_batch(
+                        item["_apply"] = self._finish_batch(
                             item["frames"], item["metas"], item["fut"]
                         )
                 except BaseException as e:  # re-raised in collect_batch
@@ -845,11 +845,11 @@ class BatchStream:
                         item["out"] = _copy_results(last_out)
                         self.memo_hits += 1
                     elif "_apply" in item:
-                        results, probs_fut, ns, miss_refs = item.pop("_apply")
-                        if miss_refs:
-                            probs = np.asarray(probs_fut).reshape(ns, -1)
-                            for k, (bi, di) in enumerate(miss_refs):
-                                self._apply_rank_prob(results, bi, di, probs[k])
+                        results, probs_fut, rows, pairs = item.pop("_apply")
+                        if pairs:
+                            probs = np.asarray(probs_fut).reshape(rows, -1)
+                            for row, (bi, di) in pairs:
+                                self._apply_rank_prob(results, bi, di, probs[row])
                         item["out"] = results
                     # pristine copy: callers may mutate what they collect
                     last_out = _copy_results(item["out"])
@@ -1652,8 +1652,11 @@ class BatchStream:
         self._pred_rects = out
         self._pred_ages = ages_out
 
-    def _finish_batch(self, frames, metas, fut) -> List[List[Dict]]:
-        """Fetch detect results, gather rank crops, classify, assemble."""
+    def _finish_batch(self, frames, metas, fut):
+        """Fetch detect results, gather rank crops, DISPATCH the classify
+        (not awaited — the applier thread blocks on the probabilities and
+        applies them, hiding the round trip like the fused path's miss
+        fallback). Returns (results, probs_future, rows, pairs)."""
         t0 = time.perf_counter()
         packed = np.asarray(fut).reshape(self.B, self.max_det, 7)
         t1 = time.perf_counter()
@@ -1669,15 +1672,10 @@ class BatchStream:
                 slot = bi * self.max_rank + j
                 crops[slot] = c
                 crop_refs.append((slot, (bi, i)))
-        if crop_refs:
-            probs = np.asarray(
-                self._classify_crops(crops)
-            ).reshape(self.B * self.max_rank, -1)
-            for slot, (bi, di) in crop_refs:
-                self._apply_rank_prob(results, bi, di, probs[slot])
+        probs_fut = self._classify_crops(crops) if crop_refs else None
         self._publish_pred_rects(all_cands)
         self.stage_stats["finish_tail"].append(time.perf_counter() - t1)
-        return results
+        return results, probs_fut, self.B * self.max_rank, crop_refs
 
     def _finish_batch_fused(self, frames, metas, fut, pred):
         """Fused-mode tail, stage A: the fetch already carries the rank
@@ -1736,7 +1734,7 @@ class BatchStream:
             )
         self._publish_pred_rects(all_cands)
         self.stage_stats["finish_tail"].append(time.perf_counter() - t1)
-        return results, probs_fut, ns, miss_refs
+        return results, probs_fut, ns, list(enumerate(miss_refs))
 
     def _stable_rect(self, cid: int, rect: Tuple[int, int, int, int]):
         """Hysteresis for crop rects: when a new rect is within the pad
