@@ -145,13 +145,12 @@ def main(argv=None) -> int:
 
         ocr_engine = default_ocr_engine()
 
-    def read_text_fields(frame, dets):
-        """OCR the non-rank text fields of one table's detections in one
-        batched engine call (reference cascade, detect.py:580-600)."""
+    def gather_text_fields(frame, dets, ti, refs, crops, names):
+        """Collect one table's OCR-eligible crops into the tick-wide
+        batch (reference cascade fields, detect.py:580-600)."""
         from manual_yolo_tpu.game import taxonomy
         from manual_yolo_tpu.runtime.native import crop_u8
 
-        idxs, crops, names = [], [], []
         for i, d in enumerate(dets):
             name = d["class_name"]
             if name in taxonomy.RANK_CLASSES or not (
@@ -164,15 +163,28 @@ def main(argv=None) -> int:
             crop = crop_u8(frame, y1 - 2, x1 - 2, y2 + 2, x2 + 2)
             if crop.size == 0:
                 continue
-            idxs.append(i)
+            refs.append((ti, i))
             crops.append(crop)
             names.append(name)
-        if idxs:
-            for i, text in zip(
-                idxs, ocr_engine.read_fields(crops, names)
+
+    def read_text_fields_fleet(results, c_frames, c_due):
+        """ONE batched engine call per field kind per TICK: all changed
+        tables' crops ride the same recognizer batch, so the tick pays a
+        fixed number of device round trips regardless of how many tables
+        changed (per-table calls made OCR the fleet's dominant cost)."""
+        refs, crops, names = [], [], []
+        for ti, dets in enumerate(results):
+            if c_due is None or c_due[ti]:
+                if c_frames is not None and c_frames[ti] is not None:
+                    gather_text_fields(
+                        c_frames[ti], dets, ti, refs, crops, names
+                    )
+        if refs:
+            for (ti, di), text in zip(
+                refs, ocr_engine.read_fields(crops, names)
             ):
                 if text:
-                    dets[i]["ocr_text"] = text
+                    results[ti][di]["ocr_text"] = text
 
     import collections as coll
 
@@ -200,15 +212,15 @@ def main(argv=None) -> int:
                 with timer.stage("collect"):
                     results = stream.collect_batch()
                 c_frames, c_due = batch_meta.popleft()
+                # unchanged frame -> identical detections -> identical
+                # state transition: skip the update (and its OCR); this
+                # also protects text fields from being overwritten by
+                # the empty reads of OCR-skipped ticks
+                if ocr_engine is not None:
+                    with timer.stage("ocr"):
+                        read_text_fields_fleet(results, c_frames, c_due)
                 for ti, dets in enumerate(results):
-                    # unchanged frame -> identical detections -> identical
-                    # state transition: skip the update (and its OCR); this
-                    # also protects text fields from being overwritten by
-                    # the empty reads of OCR-skipped ticks
                     if c_due[ti]:
-                        if ocr_engine is not None:
-                            with timer.stage("ocr"):
-                                read_text_fields(c_frames[ti], dets)
                         trackers[ti].update(dets)
                     logs[ti].append(json.dumps(
                         {"tick": tick, "detections": len(dets),
@@ -239,10 +251,10 @@ def main(argv=None) -> int:
             c_frames, c_due = (
                 batch_meta.popleft() if batch_meta else (None, None)
             )
+            if ocr_engine is not None:
+                read_text_fields_fleet(results, c_frames, c_due)
             for ti, dets in enumerate(results):
                 if c_due is None or c_due[ti]:
-                    if ocr_engine is not None and c_frames is not None:
-                        read_text_fields(c_frames[ti], dets)
                     trackers[ti].update(dets)
                 logs[ti].append(json.dumps(
                     {"tick": tick, "detections": len(dets),
