@@ -28,7 +28,12 @@ import numpy as np
 
 BASELINE_FPS = 200.0
 SRC_HW = (1200, 1920)
-BATCH = 32
+# Batch size trades per-frame latency for throughput: the tunnel charges a
+# fixed ~60 ms stall per crossing, and the steady state is ONE put + ONE
+# fetch per batch, so bigger batches amortize the stalls over more frames.
+# 64 measured ~equal to 32 on strong link episodes (257 vs 247 fps) and
+# ~2x better on weak ones (205 vs 98) — the robust default.
+BATCH = int(os.environ.get("MYOLO_BENCH_BATCH", "64"))
 WARM_BATCHES = 10  # raw_active + skip + all 8 segs-mode jitter deltas
 MEAS_BATCHES = 12
 IN_FLIGHT = 2
