@@ -306,14 +306,21 @@ def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
     )[:, 0, :]
     jvalid = has.all(axis=1) & (np.abs(jj) <= 63).all(axis=1)  # (B,)
     pred = np.clip(pc.astype(np.int16) + jj[:, None, :], 0, 255)
-    sok = (
+    sok_raw = (
         (cc == pred).reshape(B * nh * seg, segw * 3).all(axis=1)
         & np.repeat(jvalid, nh * seg)
-        & (span != 0)
+    )
+    sok = sok_raw & (span != 0)
+    # whole-slot clamp-shift (native fast path): every segment of the
+    # slot classifies 5, including span-0 ones (identical bytes either
+    # way; keeps the class arrays bit-equal between implementations)
+    slot_ok = np.repeat(
+        sok_raw.reshape(B, -1).all(axis=1) & (jj != 0).any(axis=1),
+        nh * seg,
     )
     cls = np.select(
-        [span == 0, sok, span <= 1, span <= 3, span <= 7],
-        [0, 5, 1, 2, 3], 4,
+        [slot_ok, span == 0, sok, span <= 1, span <= 3, span <= 7],
+        [5, 0, 5, 1, 2, 3], 4,
     )
     out_cls[: cls.size] = cls.astype(np.uint8)
     # biases: const -> the delta itself; clamp-shift -> j; 1/2/3-bit ->

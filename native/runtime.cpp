@@ -489,6 +489,43 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
       jvalid = remaining == 0 && jj[0] >= -63 && jj[0] <= 63 &&
                jj[1] >= -63 && jj[1] <= 63 && jj[2] >= -63 && jj[2] <= 63;
     }
+    // whole-slot fast path: when EVERY byte of the slot verifies as
+    // clamp(prev + j) (the global-photometric-jitter case), classify all
+    // its segments 5 in one branchless pass — no per-segment min/max or
+    // verify work. Row-wise early exit keeps repaint slots cheap.
+    if (jvalid && (jj[0] != 0 || jj[1] != 0 || jj[2] != 0)) {
+      int16_t j48[48];
+      for (int k = 0; k < 48; ++k) j48[k] = jj[k % 3];
+      bool slot_shift = true;
+      for (int32_t r = 0; r < nh && slot_shift; ++r) {
+        const uint8_t *crow =
+            cur + (size_t)s * slot_stride + (size_t)r * row_bytes;
+        const uint8_t *prow =
+            prev + (size_t)s * slot_stride + (size_t)r * row_bytes;
+        uint8_t acc = 0;
+        for (int64_t i = 0; i < row_bytes; i += 48) {
+          const int kmax = row_bytes - i < 48 ? (int)(row_bytes - i) : 48;
+          for (int k = 0; k < kmax; ++k) {
+            int16_t v = (int16_t)prow[i + k] + j48[k];
+            v = v < 0 ? 0 : (v > 255 ? 255 : v);
+            acc |= (uint8_t)((uint8_t)v ^ crow[i + k]);
+          }
+        }
+        slot_shift = acc == 0;
+      }
+      if (slot_shift) {
+        const uint8_t b0 = (uint8_t)jj[0], b1 = (uint8_t)jj[1],
+                      b2 = (uint8_t)jj[2];
+        for (int32_t g2 = 0; g2 < nh * nsegrow; ++g2, ++seg_i) {
+          out_cls[seg_i] = 5;
+          uint8_t *bias = out_bias + (size_t)seg_i * 3;
+          bias[0] = b0;
+          bias[1] = b1;
+          bias[2] = b2;
+        }
+        continue;
+      }
+    }
     for (int32_t r = 0; r < nh; ++r) {
       const uint8_t *crow = cur + (size_t)s * slot_stride + (size_t)r * row_bytes;
       const uint8_t *prow = prev + (size_t)s * slot_stride + (size_t)r * row_bytes;
