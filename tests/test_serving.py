@@ -660,3 +660,49 @@ def test_batch_stream_fused_predictive_classify_lossless():
     finally:
         sd.close()
         sr.close()
+
+
+def test_seg_encode_whole_slot_clamp_shift_fast_path():
+    """A slot that is exactly clamp(prev + j) everywhere (pure photometric
+    tick) must classify EVERY segment class 5 with bias j — the native
+    fast path and the numpy mirror must agree byte-for-byte, including on
+    span-0 segments (class 5, not 0, inside such a slot)."""
+    from manual_yolo_tpu.runtime import native as native_mod
+
+    rng = np.random.default_rng(7)
+    B, H, W, segw = 2, 32, 64, 8
+    top, nh = 0, 32
+    prev = rng.integers(0, 256, (B, H, W, 3), np.uint8)
+    prev[0, :4] = 255  # saturated region -> clipped under the shift
+    cur = prev.copy()
+    cur[0] = np.clip(prev[0].astype(np.int16) + np.array([3, -5, 2]), 0, 255).astype(np.uint8)
+    cur[1, 10:20, 10:30] = rng.integers(0, 256, (10, 20, 3), np.uint8)
+
+    nseg = B * nh * (W // segw)
+    segb = segw * 3
+    q1, q2, q3, qr = segb // 8, segb // 4, segb * 3 // 8, segb
+
+    def run(force_numpy):
+        bufs = (
+            np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q2, np.uint8),
+            np.zeros(nseg * q3, np.uint8), np.zeros(nseg * qr, np.uint8),
+            np.zeros(nseg * 3, np.uint8), np.zeros(nseg, np.uint8),
+        )
+        counts = native_mod.seg_encode(
+            cur, prev, top, nh, segw, *bufs, force_numpy=force_numpy
+        )
+        return counts, bufs
+
+    cn, bn = run(False)
+    cp, bp = run(True)
+    if native_mod.get_lib() is not None:
+        assert cn == cp
+        for a, b in zip(bn, bp):
+            np.testing.assert_array_equal(a, b)
+    sps = nh * (W // segw)
+    assert (bn[5][:sps] == 5).all()  # slot 0: every segment clamp-shift
+    exp = np.array([3, 256 - 5, 2], np.uint8)
+    np.testing.assert_array_equal(
+        bn[4][: sps * 3].reshape(-1, 3), np.broadcast_to(exp, (sps, 3))
+    )
+    assert (bn[5][sps : 2 * sps] != 5).any()  # slot 1 repainted -> mixed
