@@ -163,10 +163,16 @@ def forward(params, x, compute_dtype=jnp.float32) -> jnp.ndarray:
     return jnp.transpose(logits, (1, 0, 2))  # (N, T, nc)
 
 
-def preprocess_gray(crop_gray: np.ndarray, target_w: int) -> np.ndarray:
+def preprocess_gray(
+    crop_gray: np.ndarray, target_w: int, stretch: float = 1.0
+) -> np.ndarray:
     """Host: (h, w) uint8/float gray -> (32, target_w) [0,1], aspect kept,
     a few background-padded pixels on each side (CTC drops glyphs that
-    touch the crop edge), remainder right-padded with the edge median."""
+    touch the crop edge), remainder right-padded with the edge median.
+
+    ``stretch`` > 1 widens the render beyond aspect (capped at target_w):
+    more CTC time steps per glyph, which recovers dropped thin characters
+    and collapsed repeats ('55' -> '5') — used as a TTA candidate."""
     import cv2
 
     h, w = crop_gray.shape[:2]
@@ -177,7 +183,7 @@ def preprocess_gray(crop_gray: np.ndarray, target_w: int) -> np.ndarray:
     crop_gray = np.pad(crop_gray, ((2, 2), (pad, pad)), constant_values=bg)
     h, w = crop_gray.shape[:2]
     scale = IMG_H / max(h, 1)
-    nw = max(1, min(target_w, int(round(w * scale))))
+    nw = max(1, min(target_w, int(round(w * scale * stretch))))
     # cubic when UPSCALING small text (reference OCR pass 3 upscales 2x
     # INTER_CUBIC, detect.py:215-221); linear when shrinking
     interp = cv2.INTER_CUBIC if scale > 1.0 else cv2.INTER_LINEAR

@@ -232,6 +232,7 @@ class OCREngine:
         read that fails the field regex no longer costs the whole field."""
         if not crops_gray:
             return []
+        n = len(crops_gray)
         batch = np.stack(
             [crnn.preprocess_gray(c, self.width) for c in crops_gray]
         )
@@ -239,7 +240,7 @@ class OCREngine:
             self._run(self.params, jnp.asarray(batch), self._masks[kind])
         )
         out = []
-        for i in range(len(crops_gray)):
+        for i in range(n):
             # stable: on ties the primary mask's variants come first
             order = np.argsort(-conf[i], kind="stable")
             cands: List[Tuple[str, float]] = []

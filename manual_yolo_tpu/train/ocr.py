@@ -106,6 +106,12 @@ def random_name(rng) -> str:
         n = int(rng.integers(2, 14))
         chars = string.ascii_letters + string.digits + "_"
         s = "".join(chars[rng.integers(0, len(chars))] for _ in range(n))
+    # doubled characters ('snowsport55', 'sportfire443'): adjacent repeats
+    # are where greedy CTC drops glyphs (no blank predicted between them) —
+    # the real-crop eval's dominant name error class, so oversample them
+    if rng.random() < 0.30:
+        i = int(rng.integers(0, len(s)))
+        s = s[: i + 1] + s[i] + s[i + 1 :]
     # UI truncation ellipsis on long names
     if len(s) >= 10 and rng.random() < 0.45:
         s = s[: rng.integers(8, min(len(s), 13))] + "..."
