@@ -109,7 +109,7 @@ def random_name(rng) -> str:
     # doubled characters ('snowsport55', 'sportfire443'): adjacent repeats
     # are where greedy CTC drops glyphs (no blank predicted between them) —
     # the real-crop eval's dominant name error class, so oversample them
-    if rng.random() < 0.30:
+    if rng.random() < 0.12:
         i = int(rng.integers(0, len(s)))
         s = s[: i + 1] + s[i] + s[i + 1 :]
     # UI truncation ellipsis on long names
