@@ -12,8 +12,8 @@ Frames are REAL table screenshots (the reference's test2.png scaled to the
 classification all execute with live data, not empty noise.
 
 Measured on the batched streaming path (runtime/serving.py BatchStream):
-tunnel round trips are amortised over 32-frame batches with two batches in
-flight, so the link, host preprocessing, and device compute overlap.
+tunnel round trips are amortised over 64-frame batches (MYOLO_BENCH_BATCH
+overrides) with two batches in flight, so the link, host preprocessing, and device compute overlap.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

@@ -171,8 +171,10 @@ def preprocess_gray(
     touch the crop edge), remainder right-padded with the edge median.
 
     ``stretch`` > 1 widens the render beyond aspect (capped at target_w):
-    more CTC time steps per glyph, which recovers dropped thin characters
-    and collapsed repeats ('55' -> '5') — used as a TTA candidate."""
+    more CTC time steps per glyph. Available for training-time width
+    augmentation; an inference-side stretch TTA measured WORSE on the
+    real-crop eval (models trained on aspect-true renders), so no runtime
+    caller passes it."""
     import cv2
 
     h, w = crop_gray.shape[:2]
@@ -186,7 +188,7 @@ def preprocess_gray(
     nw = max(1, min(target_w, int(round(w * scale * stretch))))
     # cubic when UPSCALING small text (reference OCR pass 3 upscales 2x
     # INTER_CUBIC, detect.py:215-221); linear when shrinking
-    interp = cv2.INTER_CUBIC if scale > 1.0 else cv2.INTER_LINEAR
+    interp = cv2.INTER_CUBIC if scale * stretch > 1.0 else cv2.INTER_LINEAR
     resized = cv2.resize(crop_gray, (nw, IMG_H), interpolation=interp)
     canvas = np.full((IMG_H, target_w), float(np.median(resized[:, -1])), np.float32)
     canvas[:, :nw] = resized

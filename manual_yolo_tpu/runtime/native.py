@@ -305,11 +305,14 @@ def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
         - np.take_along_axis(pc.astype(np.int16), idx[:, None, :], 1)
     )[:, 0, :]
     jvalid = has.all(axis=1) & (np.abs(jj) <= 63).all(axis=1)  # (B,)
-    pred = np.clip(pc.astype(np.int16) + jj[:, None, :], 0, 255)
-    sok_raw = (
-        (cc == pred).reshape(B * nh * seg, segw * 3).all(axis=1)
-        & np.repeat(jvalid, nh * seg)
-    )
+    if jvalid.any():
+        pred = np.clip(pc.astype(np.int16) + jj[:, None, :], 0, 255)
+        sok_raw = (
+            (cc == pred).reshape(B * nh * seg, segw * 3).all(axis=1)
+            & np.repeat(jvalid, nh * seg)
+        )
+    else:  # no slot has a shift candidate: skip the full-plane compare
+        sok_raw = np.zeros(B * nh * seg, bool)
     sok = sok_raw & (span != 0)
     # whole-slot clamp-shift (native fast path): every segment of the
     # slot classifies 5, including span-0 ones (identical bytes either

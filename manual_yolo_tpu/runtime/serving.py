@@ -1136,13 +1136,16 @@ class BatchStream:
     def _encode_crop_segs(self, crops: np.ndarray):
         """Finisher-thread crop delta (the non-fused classify path)."""
         if self._crop_segs_bufs is None:
-            # single pay buffer: the worker thread's device_put blocks
-            # until the transfer completes, so no rotation is needed here
+            # 4 rotating pay buffers: since the classify await moved to the
+            # applier thread, the worker no longer blocks until the payload
+            # transfer drains — the buffer must stay untouched until then
+            # (same reason the canvas path rotates 4)
             self._crop_segs_bufs = self._make_segs_bufs(
-                64, crops.shape[0] * 64, crops.size, 1
+                64, crops.shape[0] * 64, crops.size, 4
             )
+        self._crop_pay_i = (getattr(self, "_crop_pay_i", -1) + 1) % 4
         return self._encode_crop_plane_segs(
-            crops, self._prev_crops, self._crop_segs_bufs, 0
+            crops, self._prev_crops, self._crop_segs_bufs, self._crop_pay_i
         )
 
     def _build_fused_payload(self, frames, canvas_payload):
