@@ -206,6 +206,49 @@ def resize_bilinear(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     return jax.image.resize(img, shape, method="bilinear")
 
 
+def _cubic_resize_matrix(n_in: int, n_out: int) -> "np.ndarray":
+    """(n_out, n_in) interpolation matrix for one axis of cv2.INTER_CUBIC:
+    Keys bicubic kernel with a = -0.75 (OpenCV's constant; jax.image's
+    'cubic' uses a = -0.5 and does NOT match), half-pixel-centered source
+    coordinates, replicate-clamped borders. Shapes are static under jit so
+    the matrix is a compile-time constant."""
+    import numpy as np
+
+    a = -0.75
+    x = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    ix = np.floor(x).astype(np.int64)
+    f = x - ix  # in [0, 1)
+    # tap offsets -1..2 around ix; Keys weights as cv2's interpolateCubic
+    t = np.stack([1.0 + f, f, 1.0 - f, 2.0 - f])  # |distance| per tap
+    w = np.where(
+        t <= 1.0,
+        ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0,
+        ((a * t - 5.0 * a) * t + 8.0 * a) * t - 4.0 * a,
+    )  # (4, n_out); rows already sum to 1
+    mat = np.zeros((n_out, n_in), dtype=np.float64)
+    for k in range(4):
+        cols = np.clip(ix + (k - 1), 0, n_in - 1)
+        np.add.at(mat, (np.arange(n_out), cols), w[k])
+    return mat.astype(np.float32)
+
+
+def resize_cubic(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """cv2.resize(..., INTER_CUBIC) parity on device (reference OCR pass 3
+    upscale, detect.py:215-221, and the card chain detect.py:160-171).
+
+    Separable: out = Wy @ img @ Wx.T — two dense matmuls that land on the
+    MXU, with the (static-shape) weight matrices folded in at compile
+    time. Intended for crop-sized images; no range clamp (cv2 float
+    resize does not clamp either)."""
+    wy = jnp.asarray(_cubic_resize_matrix(img.shape[0], out_hw[0]))
+    wx = jnp.asarray(_cubic_resize_matrix(img.shape[1], out_hw[1]))
+    if img.ndim == 2:
+        return wy @ img @ wx.T
+    # (H, W, C) -> contract H then W, keep channels last
+    tmp = jnp.einsum("oh,hwc->owc", wy, img)
+    return jnp.einsum("pw,owc->opc", wx, tmp)
+
+
 def enhance_for_ocr_standard(gray: jnp.ndarray) -> jnp.ndarray:
     """'standard' enhancement (reference detect.py:172-175): CLAHE clip=2."""
     return clahe(gray, clip_limit=2.0)
@@ -217,7 +260,7 @@ def enhance_for_ocr_card(gray: jnp.ndarray, upscale: int = 3) -> jnp.ndarray:
     morph close. Denoise is a gaussian blur stand-in for fastNlMeans
     (SURVEY hard-part (e): justified simpler substitute, parity-gated)."""
     h, w = gray.shape
-    up = resize_bilinear(gray, (h * upscale, w * upscale))
+    up = jnp.clip(resize_cubic(gray, (h * upscale, w * upscale)), 0.0, 1.0)
     x = clahe(up, clip_limit=3.0)
     x = gaussian_blur(x, 3)
     x = sharpen(x)

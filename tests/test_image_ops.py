@@ -143,3 +143,22 @@ def test_deskew_light_on_dark_polarity():
     skewed = cv2.warpAffine(base, M, (160, 48), borderValue=0.08)
     est = float(jnp.rad2deg(img_ops.estimate_skew_angle(jnp.asarray(skewed))))
     assert abs(est - 6.0) < 2.5, est
+
+
+@pytest.mark.parametrize("out_hw", [(128, 192), (96, 96), (37, 51), (32, 48)])
+def test_resize_cubic_matches_cv2(gray_img, out_hw):
+    # cv2 float32 INTER_CUBIC is the oracle (reference detect.py:215-221
+    # upscales 2x INTER_CUBIC before OCR pass 3; card chain detect.py:160-171)
+    ref = cv2.resize(gray_img, (out_hw[1], out_hw[0]),
+                     interpolation=cv2.INTER_CUBIC)
+    ours = np.asarray(img_ops.resize_cubic(jnp.asarray(gray_img), out_hw))
+    assert ours.shape == out_hw
+    assert np.abs(ours - ref).max() < 1e-4
+
+
+def test_resize_cubic_3ch_matches_cv2(gray_img):
+    img = np.stack([gray_img, gray_img * 0.5, 1.0 - gray_img], axis=-1)
+    ref = cv2.resize(img, (190, 130), interpolation=cv2.INTER_CUBIC)
+    ours = np.asarray(img_ops.resize_cubic(jnp.asarray(img), (130, 190)))
+    assert ours.shape == (130, 190, 3)
+    assert np.abs(ours - ref).max() < 1e-4
