@@ -31,6 +31,7 @@ def load_real_crops(labels_path: str, dataset_root: str = DATASET_ROOT,
 
     d = json.load(open(labels_path))
     img_cache = {}
+    lbl_cache = {}
     for it in d["items"]:
         if not it.get("text"):
             continue
@@ -56,8 +57,11 @@ def load_real_crops(labels_path: str, dataset_root: str = DATASET_ROOT,
                 continue
             h, w = img.shape[:2]
             lbl = os.path.join(dataset_root, split, "labels", it["src"].split("/", 1)[1] + ".txt")
-            lines = [l for l in open(lbl).read().splitlines() if l.strip()]
-            parts = lines[it["row"]].split()
+            if lbl not in lbl_cache:
+                lbl_cache[lbl] = [
+                    l for l in open(lbl).read().splitlines() if l.strip()
+                ]
+            parts = lbl_cache[lbl][it["row"]].split()
             xc, yc, bw, bh = (float(v) for v in parts[1:5])
             x1, y1 = int((xc - bw / 2) * w), int((yc - bh / 2) * h)
             x2, y2 = int((xc + bw / 2) * w), int((yc + bh / 2) * h)

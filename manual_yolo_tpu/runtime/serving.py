@@ -540,7 +540,6 @@ class BatchStream:
             np.zeros((self._n_nib + self._n_bias,), np.uint8)
             for _ in range(4)
         ]
-        self._delta16 = np.zeros((batch, imgsz, imgsz, 3), np.int16)
         self._prev_staging: Optional[np.ndarray] = None
         self._prev_frames: List[Optional[np.ndarray]] = [None] * batch
         self._prev_metas: List = [None] * batch
@@ -682,12 +681,20 @@ class BatchStream:
         # active-rows program cache: (top, nh) -> (raw_fn, nibble_fn)
         self._active_progs: Dict[Tuple[int, int], Tuple] = {}
         # delta scratch per active-height (contiguous, so reshape(-1) on the
-        # residual is a view, not a 10+ MB copy per batch)
-        self._delta_scratch: Dict[int, np.ndarray] = {imgsz: self._delta16}
+        # residual is a view, not a 10+ MB copy per batch). Lazy: only the
+        # numpy fallback of _encode_nibble needs it, and that path never
+        # runs when the native encoder library is present — eager allocation
+        # would pin 78-157 MB of untouched int16 per stream
+        self._delta_scratch: Dict[int, np.ndarray] = {}
         # letterbox geometry of the previous batch's device canvas: active
         # nibble decode leaves the padding rows untouched, so it is only
         # valid when the resident canvas's padding is known to be 114 there
         self._prev_geom: Optional[Tuple[int, int]] = None
+        # set by the dispatcher/worker threads when a batch fails after the
+        # submit thread already advanced the host delta references: the
+        # device-resident planes no longer match them, so the next
+        # submit_batch must fall back to raw and re-establish the chain
+        self._delta_broken = False
         self._pending: Deque[Dict] = collections.deque()
 
         # Two pipeline workers besides the caller's thread:
@@ -719,7 +726,12 @@ class BatchStream:
         # compute + readback) / finish_tail (host assembly + fallbacks).
         # Cost is a few perf_counter calls per 32-frame batch; read with
         # stage_summary().
-        self.stage_stats: Dict[str, List[float]] = collections.defaultdict(list)
+        # bounded: the forever-serve mode appends one float per batch per
+        # stage — an unbounded list is a slow leak; stage_summary only needs
+        # recent batches
+        self.stage_stats: Dict[str, Deque[float]] = collections.defaultdict(
+            lambda: collections.deque(maxlen=4096)
+        )
 
         def _dispatcher():
             import time as _time
@@ -729,6 +741,11 @@ class BatchStream:
             while True:
                 item = self._dispatch_q.get()
                 if item is None:
+                    # forward the shutdown sentinel so it lands AFTER any
+                    # batch this thread already pushed (close() putting it
+                    # into _work_q directly could overtake an in-flight
+                    # batch and leave its evt forever unset)
+                    self._work_q.put(None)
                     return
                 _t0 = _time.perf_counter()
                 try:
@@ -785,6 +802,7 @@ class BatchStream:
                         _time.perf_counter() - _t0
                     )
                 except BaseException as e:  # surfaces in collect_batch
+                    self._delta_broken = True
                     item["err"] = e
                     item["evt"].set()
                     continue
@@ -823,6 +841,10 @@ class BatchStream:
                             item["frames"], item["metas"], item["fut"]
                         )
                 except BaseException as e:  # re-raised in collect_batch
+                    self._delta_broken = True
+                    # the crop-plane chain is worker-owned and may have been
+                    # half-updated — force the next classify to ride raw
+                    self._prev_crops = None
                     item["err"] = e
                     item["evt"].set()
                     continue
@@ -1035,12 +1057,6 @@ class BatchStream:
 
             self._classify_small_progs[ns] = jax.jit(classify_small)
         return self._classify_small_progs[ns]
-
-    def _crop_payload_total(self, npk: int) -> int:
-        """Static byte length of a crop-plane segs payload with bucket npk."""
-        ns = self.B * self.max_rank
-        nseg = ns * 64
-        return npk + ns * 3 + (nseg + 7) // 8 + (nseg + 1) // 2
 
     def _get_fused_prog(self, top: int, nh: int, npc: int, npk: int):
         """One program for the whole batch step: canvas segs decode ->
@@ -1379,10 +1395,27 @@ class BatchStream:
         return r, (top, left), (nh, nw)
 
     def submit_batch(self, frames: List[np.ndarray]) -> None:
-        """Stage + dispatch one batch of exactly B frames (async)."""
+        """Stage + dispatch one batch of exactly B frames (async).
+
+        Aliasing contract: a frame array must NOT be mutated in place after
+        submission — the stream keeps references across batches (delta
+        references, crop gathers in the finisher thread). Submitting the
+        *same array object* again in the same slot is the cheap way to say
+        "unchanged" (cli/serve.py uses exactly this); a source that reuses
+        one capture buffer must hand over a copy when the pixels change.
+        Every in-repo capture source yields a fresh array per frame.
+        """
         import jax.numpy as jnp
 
         assert len(frames) == self.B
+        if self._delta_broken:
+            # a previous batch failed after the host references advanced:
+            # the device planes are stale — re-establish the chain raw
+            self._delta_broken = False
+            self._prev_staging = None
+            self._prev_geom = None
+            self._prev_frames = [None] * self.B
+            self._pred_prev_crops = None
         _ts0 = time.perf_counter()
         self._staging_i = (self._staging_i + 1) % len(self._staging)
         staging = self._staging[self._staging_i]
@@ -1732,6 +1765,10 @@ class BatchStream:
             ns = 8
             while ns < len(miss_refs):
                 ns *= 2
+            # miss_crops has exactly B*max_rank rows (len(miss_refs) is
+            # capped to that above) — the power-of-2 bucket must not
+            # overshoot it or the reshape below crashes
+            ns = min(ns, self.B * self.max_rank)
             probs_fut = self._get_classify_small(ns)(
                 self.cls_params, jnp.asarray(miss_crops[:ns].reshape(-1))
             )
@@ -1799,7 +1836,8 @@ class BatchStream:
         batches, optionally skipping the first ``skip`` warmup entries)."""
         out = {}
         for k, v in self.stage_stats.items():
-            vs = sorted(v[skip:] if len(v) > skip else v)
+            lv = list(v)
+            vs = sorted(lv[skip:] if len(lv) > skip else lv)
             if not vs:
                 continue
             out[k] = {
@@ -1823,8 +1861,9 @@ class BatchStream:
         if getattr(self, "_closed", False):
             return
         self._closed = True
+        # one sentinel, forwarded down the chain (dispatcher -> worker ->
+        # applier) so it can never overtake an in-flight batch
         self._dispatch_q.put(None)
-        self._work_q.put(None)
         self._dispatch_thread.join(timeout=5)
         self._worker_thread.join(timeout=5)
         self._applier_thread.join(timeout=5)
