@@ -120,11 +120,16 @@ def main(argv=None) -> int:
                     help="comma-separated sources (test, valid, test2)")
     ap.add_argument("--dump-errors", default=None,
                     help="write mismatching rows to this JSON file")
+    ap.add_argument("--no-beam", action="store_true",
+                    help="disable the prefix-beam candidate refinement "
+                         "(greedy-only decode, for A/B comparison)")
     args = ap.parse_args(argv)
 
     from manual_yolo_tpu.runtime.ocr import OCREngine
 
     engine = OCREngine.from_npz(args.weights, text_detector=args.text_detector or None)
+    if args.no_beam:
+        engine.beam = False
     res = evaluate_real(
         engine, args.labels, args.min_confidence,
         splits=tuple(args.splits.split(",")),

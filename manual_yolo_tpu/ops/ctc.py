@@ -65,3 +65,103 @@ def greedy_decode(
 def decode_to_text(out_ids: np.ndarray) -> str:
     """Host: collapse one row of greedy_decode output to a string."""
     return "".join(CHARSET[i - 1] for i in np.asarray(out_ids) if i > 0)
+
+
+def ctc_forward_score(logp: np.ndarray, ids) -> float:
+    """Host CTC forward algorithm: log P(ids | logp) summed over all
+    alignments. ``logp`` (T, C) log-probabilities, ``ids`` a sequence of
+    non-blank char ids. O(T * len(ids)).
+
+    Used to RESCORE decode candidates under several models' posteriors
+    (ensemble-sum): a candidate that one model's beam ranks second often
+    wins the summed score when the top candidate's lead is a single-model
+    idiosyncrasy."""
+    T, _ = logp.shape
+    L = len(ids)
+    ext = np.zeros(2 * L + 1, np.int64)
+    ext[1::2] = ids
+    NEG = -np.inf
+    alpha = np.full(2 * L + 1, NEG)
+    alpha[0] = logp[0, BLANK]
+    if L:
+        alpha[1] = logp[0, ids[0]]
+    for t in range(1, T):
+        prev = alpha
+        shifted1 = np.concatenate(([NEG], prev[:-1]))
+        stay = np.logaddexp(prev, shifted1)
+        shifted2 = np.concatenate(([NEG, NEG], prev[:-2]))
+        can_skip = np.zeros(2 * L + 1, bool)
+        can_skip[2:] = (ext[2:] != BLANK) & (ext[2:] != ext[:-2])
+        tot = np.where(can_skip, np.logaddexp(stay, shifted2), stay)
+        alpha = tot + logp[t, ext]
+    return float(np.logaddexp(alpha[-1], alpha[-2] if L else NEG))
+
+
+def prefix_beam_decode(
+    logp: np.ndarray,
+    beam_width: int = 8,
+    topk_chars: int = 6,
+    prune_lp: float = -9.0,
+) -> list:
+    """Host CTC prefix beam search over ``logp`` (T, C) log-probabilities
+    (already allowlist-masked + log-softmaxed).
+
+    Greedy decode picks the single best *path*, which systematically
+    collapses doubled characters ("55" needs a blank frame between the two
+    5s on the best path even when the summed-alignment posterior clearly
+    prefers "55" — the dominant real-crop error class). Prefix beam search
+    sums path mass per *prefix*, recovering those.
+
+    Per frame only the ``topk_chars`` most probable characters above
+    ``prune_lp`` are considered (beam cost is tiny: ~beam*topk per frame).
+    Returns [(text_ids tuple, log_posterior)] best-first, length
+    <= beam_width.
+    """
+    T, C = logp.shape
+    NEG = -np.inf
+
+    def lse(a: float, b: float) -> float:
+        if a == NEG:
+            return b
+        if b == NEG:
+            return a
+        m = a if a > b else b
+        return m + np.log1p(np.exp(-abs(a - b)))
+
+    # beams: prefix tuple -> [p_blank, p_nonblank] (log mass ending in
+    # blank / in the prefix's last char)
+    beams = {(): [0.0, NEG]}
+    # python-float view of logp for speed in the tight loop
+    lp_np = np.asarray(logp, np.float64)
+    order = np.argsort(-lp_np, axis=1)[:, : max(topk_chars, 1)]
+    for t in range(T):
+        lp = lp_np[t]
+        lpb = lp[BLANK]
+        cand_chars = [int(c) for c in order[t] if c != BLANK and lp[c] > prune_lp]
+        new: dict = {}
+        for prefix, (pb, pnb) in beams.items():
+            total = lse(pb, pnb)
+            # stay: extend with blank, or repeat the last char's frame
+            ent = new.get(prefix)
+            if ent is None:
+                ent = new[prefix] = [NEG, NEG]
+            ent[0] = lse(ent[0], total + lpb)
+            last = prefix[-1] if prefix else -1
+            if last >= 0:
+                ent[1] = lse(ent[1], pnb + lp[last])
+            for c in cand_chars:
+                npfx = prefix + (c,)
+                ent2 = new.get(npfx)
+                if ent2 is None:
+                    ent2 = new[npfx] = [NEG, NEG]
+                if c == last:
+                    # a genuine repeat needs blank-separated mass
+                    ent2[1] = lse(ent2[1], pb + lp[c])
+                else:
+                    ent2[1] = lse(ent2[1], total + lp[c])
+        beams = dict(
+            sorted(new.items(), key=lambda kv: -lse(*kv[1]))[:beam_width]
+        )
+    out = [(pfx, lse(*v)) for pfx, v in beams.items()]
+    out.sort(key=lambda kv: -kv[1])
+    return out

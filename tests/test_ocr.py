@@ -241,3 +241,65 @@ def test_ensemble_of_identical_models_matches_single():
         m = mixed.read_batch_candidates(crops, kind)
         assert all(len(c) >= 1 for c in m)
     assert mixed._n_models == 2 and single._n_models == 1
+
+
+def test_prefix_beam_matches_bruteforce_posterior():
+    """Beam with full width == exact per-prefix posterior (enumerated)."""
+    import itertools
+
+    rng = np.random.default_rng(3)
+    for _ in range(8):
+        T, C = int(rng.integers(2, 6)), int(rng.integers(2, 5))
+        logits = rng.normal(size=(T, C)) * 2
+        logp = logits - np.log(np.exp(logits).sum(1, keepdims=True))
+        post = {}
+        for path in itertools.product(range(C), repeat=T):
+            p = sum(logp[t, c] for t, c in enumerate(path))
+            out, prev = [], -1
+            for c in path:
+                if c != ctc_ops.BLANK and c != prev:
+                    out.append(c)
+                prev = c
+            key = tuple(out)
+            post[key] = np.logaddexp(post.get(key, -np.inf), p)
+        want = sorted(post.items(), key=lambda kv: -kv[1])[:3]
+        got = ctc_ops.prefix_beam_decode(logp, beam_width=64, topk_chars=C)[:3]
+        for (wp, ws), (gp, gs) in zip(want, got):
+            assert wp == gp
+            assert abs(ws - gs) < 1e-4
+
+
+def test_prefix_beam_recovers_doubled_char():
+    """Greedy collapses '55' when no blank frame wins argmax; the summed
+    posterior prefers '55' when the inter-char frame carries enough blank
+    mass. This is the dominant real-crop error class (snowsport55 ->
+    snowsport5)."""
+    five = crnn.char_to_id("5")
+    T, C = 6, crnn.NUM_CLASSES
+    # two weak boundary frames where '5' still edges out blank: greedy's
+    # single path reads "5", but "55" needs only ONE of the two interior
+    # frames to be blank so its summed mass dominates
+    probs = [(0.9, 0.099), (0.9, 0.099), (0.51, 0.489), (0.51, 0.489),
+             (0.9, 0.099), (0.9, 0.099)]
+    logp = np.full((T, C), -20.0)
+    for t, (pf, pb) in enumerate(probs):
+        logp[t, five] = np.log(pf)
+        logp[t, ctc_ops.BLANK] = np.log(pb)
+    out, _ = ctc_ops.greedy_decode(jnp.asarray(logp[None], dtype=jnp.float32))
+    assert ctc_ops.decode_to_text(np.asarray(out[0])) == "5"
+    beams = ctc_ops.prefix_beam_decode(logp, beam_width=8)
+    assert beams[0][0] == (five, five)  # posterior prefers "55"
+
+
+def test_read_batch_candidates_beam_toggle():
+    params = crnn.init_params(jax.random.PRNGKey(0), hidden=32)
+    from manual_yolo_tpu.runtime.ocr import OCREngine
+
+    eng = OCREngine(params, width=96)
+    crop = np.random.default_rng(0).random((24, 60)).astype(np.float32)
+    with_beam = eng.read_batch_candidates([crop], "numeric")
+    eng.beam = False
+    without = eng.read_batch_candidates([crop], "numeric")
+    # every greedy candidate survives in the beam-augmented list
+    texts_beam = {t for t, _ in with_beam[0]}
+    assert {t for t, _ in without[0]} <= texts_beam | {""}
