@@ -18,7 +18,7 @@ jit-compiles to one program including the greedy decode (ops/ctc.py).
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -164,7 +164,8 @@ def forward(params, x, compute_dtype=jnp.float32) -> jnp.ndarray:
 
 
 def preprocess_gray(
-    crop_gray: np.ndarray, target_w: int, stretch: float = 1.0
+    crop_gray: np.ndarray, target_w: int, stretch: float = 1.0,
+    pad: Optional[int] = None,
 ) -> np.ndarray:
     """Host: (h, w) uint8/float gray -> (32, target_w) [0,1], aspect kept,
     a few background-padded pixels on each side (CTC drops glyphs that
@@ -174,14 +175,19 @@ def preprocess_gray(
     more CTC time steps per glyph. Available for training-time width
     augmentation; an inference-side stretch TTA measured WORSE on the
     real-crop eval (models trained on aspect-true renders), so no runtime
-    caller passes it."""
+    caller passes it.
+
+    ``pad`` overrides the lateral background pad (default h//8): long
+    edge-tight fields (game_id) measurably gain from a wider blank
+    lead-in, short fields lose — callers pick per field kind."""
     import cv2
 
     h, w = crop_gray.shape[:2]
     if crop_gray.dtype != np.float32:
         crop_gray = crop_gray.astype(np.float32) / 255.0
     bg = float(np.median(crop_gray))
-    pad = max(2, h // 8)
+    if pad is None:
+        pad = max(2, h // 8)
     crop_gray = np.pad(crop_gray, ((2, 2), (pad, pad)), constant_values=bg)
     h, w = crop_gray.shape[:2]
     scale = IMG_H / max(h, 1)

@@ -228,6 +228,17 @@ class OCREngine:
 
     # -- host API ----------------------------------------------------------
 
+    @staticmethod
+    def _kind_pad(kind: str):
+        """Per-kind lateral background pad for preprocess_gray. game_id
+        crops are long and edge-tight ('| Game ID : 232027866'): a wider
+        blank lead-in measurably recovers dropped edge digits (valid-split
+        game_id 0.89 -> 0.96), while short fields LOSE from the same pad —
+        so it is applied per kind, not globally."""
+        if kind == "game_id":
+            return lambda h: max(4, h // 4)
+        return lambda h: None  # preprocess default (h // 8)
+
     def read_batch(
         self, crops_gray: List[np.ndarray], kind: str = "generic",
         min_confidence: float = 0.35,
@@ -240,8 +251,12 @@ class OCREngine:
         """
         if not crops_gray:
             return []
+        kpad = self._kind_pad(kind)
         batch = np.stack(
-            [crnn.preprocess_gray(c, self.width) for c in crops_gray]
+            [
+                crnn.preprocess_gray(c, self.width, pad=kpad(c.shape[0]))
+                for c in crops_gray
+            ]
         )
         ids, conf = jax.device_get(
             self._run(self.params, jnp.asarray(batch), self._masks[kind])
@@ -276,8 +291,12 @@ class OCREngine:
         if beam is None:
             beam = self.beam
         n = len(crops_gray)
+        kpad = self._kind_pad(kind)
         batch = np.stack(
-            [crnn.preprocess_gray(c, self.width) for c in crops_gray]
+            [
+                crnn.preprocess_gray(c, self.width, pad=kpad(c.shape[0]))
+                for c in crops_gray
+            ]
         )
         logps = None
         if beam:
