@@ -706,3 +706,89 @@ def test_seg_encode_whole_slot_clamp_shift_fast_path():
         bn[4][: sps * 3].reshape(-1, 3), np.broadcast_to(exp, (sps, 3))
     )
     assert (bn[5][sps : 2 * sps] != 5).any()  # slot 1 repainted -> mixed
+
+
+def _tiny_stream(batch=2, delta=True):
+    from manual_yolo_tpu.runtime.serving import BatchStream
+
+    det_spec = yolov8.build_spec("detect", "n", nc=64)
+    cls_spec = yolov8.build_spec("classify", "n", nc=13)
+    det_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(0), det_spec), det_spec
+    )
+    cls_params = yolov8.fold_params(
+        yolov8.init_params(jax.random.PRNGKey(1), cls_spec), cls_spec
+    )
+    return BatchStream(
+        det_params=det_params, det_spec=det_spec,
+        cls_params=cls_params, cls_spec=cls_spec,
+        names=taxonomy.CLASSES, rank_names={i: str(i) for i in range(13)},
+        batch=batch, imgsz=192, conf=1e-6, compute_dtype=jnp.float32,
+        use_pallas_nms=False, delta=delta,
+    )
+
+
+def test_batch_stream_recovers_after_dispatch_failure():
+    """A batch that fails in the dispatcher (after the submit thread already
+    advanced the host delta references) must not poison the delta chain:
+    the next submit re-establishes it RAW and its results match a fresh
+    stream's."""
+    s = _tiny_stream()
+    ref = _tiny_stream()
+    rng = np.random.default_rng(2)
+    frames1 = [rng.integers(0, 255, (240, 400, 3), np.uint8) for _ in range(2)]
+    frames2 = [
+        np.clip(f.astype(np.int16) + 3, 0, 255).astype(np.uint8)
+        for f in frames1
+    ]
+    s.submit_batch(frames1)
+    s.collect_batch()
+    # inject a dispatch failure for the next batch only: the uniform +3
+    # shift rides the segs/fused path, whose program is handed to the
+    # DISPATCHER thread — a raising program fails the batch exactly where
+    # a real device error would
+    real_fused = s._get_fused_prog
+    real_progs = s._get_active_progs
+
+    def boom(*a, **k):
+        raise RuntimeError("injected dispatch failure")
+
+    s._get_fused_prog = lambda *a, **k: boom
+    s._get_active_progs = lambda *a, **k: {
+        "raw": boom, "nibble": boom, "tribit": boom
+    }
+    s.submit_batch(frames2)
+    with pytest.raises(Exception):
+        s.collect_batch()
+    s._get_fused_prog = real_fused
+    s._get_active_progs = real_progs
+    assert s._delta_broken
+    # next batch: chain re-established raw, results correct
+    raw_before = s.mode_counts["raw"]
+    s.submit_batch(frames2)
+    got = s.collect_batch()
+    assert s.mode_counts["raw"] == raw_before + 1
+    ref.submit_batch(frames1)
+    ref.collect_batch()
+    ref.submit_batch(frames2)
+    want = ref.collect_batch()
+    for g_dets, w_dets in zip(got, want):
+        assert len(g_dets) == len(w_dets)
+        for g, w in zip(g_dets, w_dets):
+            assert g["bbox"] == w["bbox"] and g["class_id"] == w["class_id"]
+    s.close()
+    ref.close()
+
+
+def test_batch_stream_close_with_inflight_batch_does_not_hang():
+    """close() while a batch is still queued must terminate all three
+    pipeline threads (the shutdown sentinel is forwarded through the
+    chain, never overtaking an in-flight batch)."""
+    s = _tiny_stream()
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 255, (240, 400, 3), np.uint8) for _ in range(2)]
+    s.submit_batch(frames)  # not collected
+    s.close()
+    assert not s._dispatch_thread.is_alive()
+    assert not s._worker_thread.is_alive()
+    assert not s._applier_thread.is_alive()
