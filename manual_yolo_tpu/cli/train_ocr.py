@@ -12,6 +12,8 @@ def main(argv=None) -> int:
     ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--img-h", type=int, default=32,
+                    help="input canvas height (64 = high-resolution member)")
     ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--pool-size", type=int, default=20000)
@@ -30,7 +32,7 @@ def main(argv=None) -> int:
 
     cfg = OCRTrainConfig(
         out_path=args.out, steps=args.steps, batch=args.batch,
-        width=args.width, hidden=args.hidden, lr=args.lr,
+        width=args.width, img_h=args.img_h, hidden=args.hidden, lr=args.lr,
         pool_size=args.pool_size, real_labels=args.real_labels,
         real_splits=tuple(args.real_splits.split(",")), real_frac=args.real_frac,
         seed=args.seed,

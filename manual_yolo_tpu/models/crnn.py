@@ -137,7 +137,8 @@ def _lstm_scan(p, xs, reverse=False, compute_dtype=jnp.float32):
 
 
 def forward(params, x, compute_dtype=jnp.float32) -> jnp.ndarray:
-    """x: (N, 32, W, 1) [0,1] -> logits (N, W//4, NUM_CLASSES)."""
+    """x: (N, H, W, 1) [0,1] (H a multiple of 8; canonically 32) ->
+    logits (N, W//4, NUM_CLASSES)."""
     y = _conv(params["c1"], x, compute_dtype=compute_dtype)
     y = _maxpool(y, 2, 2)  # 16 x W/2
     y = _conv(params["c2"], y, compute_dtype=compute_dtype)
@@ -147,7 +148,10 @@ def forward(params, x, compute_dtype=jnp.float32) -> jnp.ndarray:
     y = _maxpool(y, 2, 1)  # 4 x W/4
     y = _conv(params["c5"], y, compute_dtype=compute_dtype)
     y = _conv(params["c6"], y, compute_dtype=compute_dtype)
-    y = _maxpool(y, 4, 1)  # 1 x W/4
+    # global max over the remaining height: 4 for the canonical 32-px input,
+    # 8 for a 64-px high-resolution member — the SAME param tree serves any
+    # input height that is a multiple of 8 (only this pool size varies)
+    y = _maxpool(y, y.shape[1], 1)  # 1 x W/4
     seq = y[:, 0]  # (N, T, 512)
     xs = jnp.transpose(seq, (1, 0, 2))  # (T, N, C)
     fw = _lstm_scan(params["lstm_fw1"], xs, False, compute_dtype)
@@ -165,9 +169,9 @@ def forward(params, x, compute_dtype=jnp.float32) -> jnp.ndarray:
 
 def preprocess_gray(
     crop_gray: np.ndarray, target_w: int, stretch: float = 1.0,
-    pad: Optional[int] = None,
+    pad: Optional[int] = None, img_h: Optional[int] = None,
 ) -> np.ndarray:
-    """Host: (h, w) uint8/float gray -> (32, target_w) [0,1], aspect kept,
+    """Host: (h, w) uint8/float gray -> (img_h, target_w) [0,1], aspect kept,
     a few background-padded pixels on each side (CTC drops glyphs that
     touch the crop edge), remainder right-padded with the edge median.
 
@@ -179,9 +183,15 @@ def preprocess_gray(
 
     ``pad`` overrides the lateral background pad (default h//8): long
     edge-tight fields (game_id) measurably gain from a wider blank
-    lead-in, short fields lose — callers pick per field kind."""
+    lead-in, short fields lose — callers pick per field kind.
+
+    ``img_h`` selects the canvas height (default IMG_H=32); a 64-px canvas
+    feeds the high-resolution ensemble member (2x the glyph pixels for the
+    tiny UI fonts where digit confusions live)."""
     import cv2
 
+    if img_h is None:
+        img_h = IMG_H
     h, w = crop_gray.shape[:2]
     if crop_gray.dtype != np.float32:
         crop_gray = crop_gray.astype(np.float32) / 255.0
@@ -190,12 +200,12 @@ def preprocess_gray(
         pad = max(2, h // 8)
     crop_gray = np.pad(crop_gray, ((2, 2), (pad, pad)), constant_values=bg)
     h, w = crop_gray.shape[:2]
-    scale = IMG_H / max(h, 1)
+    scale = img_h / max(h, 1)
     nw = max(1, min(target_w, int(round(w * scale * stretch))))
     # cubic when UPSCALING small text (reference OCR pass 3 upscales 2x
     # INTER_CUBIC, detect.py:215-221); linear when shrinking
     interp = cv2.INTER_CUBIC if scale * stretch > 1.0 else cv2.INTER_LINEAR
-    resized = cv2.resize(crop_gray, (nw, IMG_H), interpolation=interp)
-    canvas = np.full((IMG_H, target_w), float(np.median(resized[:, -1])), np.float32)
+    resized = cv2.resize(crop_gray, (nw, img_h), interpolation=interp)
+    canvas = np.full((img_h, target_w), float(np.median(resized[:, -1])), np.float32)
     canvas[:, :nw] = resized
     return canvas

@@ -78,24 +78,23 @@ class OCREngine:
     N_VARIANTS = 4
 
     def __init__(self, params, width: int = 256, compute_dtype=jnp.float32,
-                 text_detector_params=None):
+                 text_detector_params=None, img_h: int = 32):
         # a list/tuple of param trees = seed ENSEMBLE: every model's logits
         # are decoded with every mask/variant and all candidates compete on
-        # (per-model-calibrated) confidence — one fused device call
-        if isinstance(params, (list, tuple)):
-            self._n_models = len(params)
-            params = (
-                params[0]
-                if len(params) == 1
-                else jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *params
-                )
-            )
-        else:
-            self._n_models = 1
-        self.params = params
-        self.width = width
+        # (per-model-calibrated) confidence — one fused device call.
+        # Members may also differ in GEOMETRY (width/img_h): from_npz groups
+        # them and appends the extra groups via _add_group; each geometry
+        # group is its own device call and all candidates compete on host.
         self.compute_dtype = compute_dtype
+        self._groups: List = []
+        self._add_group(
+            list(params) if isinstance(params, (list, tuple)) else [params],
+            width, img_h,
+        )
+        # primary-group geometry (back-compat for callers reading .width)
+        self.width = width
+        self.params = self._groups[0].params
+        self._n_models = self._groups[0].n_models
         # per kind: a (M, C) STACK of allowlist masks; every mask decodes the
         # same recognizer logits and all M x N_VARIANTS candidates compete
         self._masks = {
@@ -114,8 +113,6 @@ class OCREngine:
             ),
             "generic": jnp.asarray(ctc_ops.allowlist_mask(None)[None]),
         }
-        self._run = jax.jit(self._run_impl)
-        self._run_logp = jax.jit(self._run_logp_impl)
         # host prefix-beam + ensemble-rescore refinement: per-model beams
         # recover doubled/narrow characters greedy decode collapses
         # ("snowsport55" -> "snowsport5" was the dominant real-crop error
@@ -136,11 +133,33 @@ class OCREngine:
                 lambda p, x: craft_mod.forward(p, x, jnp.float32)
             )
 
+    def _add_group(self, trees: List, width: int, img_h: int) -> None:
+        """Register a geometry group: a stack of same-shape param trees that
+        share an input canvas (img_h, width). Each group compiles its own
+        recognizer call; candidates from every group compete on host."""
+        from types import SimpleNamespace
+
+        n_models = len(trees)
+        params = (
+            trees[0]
+            if n_models == 1
+            else jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *trees
+            )
+        )
+        g = SimpleNamespace(params=params, n_models=n_models, width=width,
+                            img_h=img_h)
+        g.run = jax.jit(partial(self._run_impl, n_models=n_models))
+        g.run_logp = jax.jit(partial(self._run_logp_impl, n_models=n_models))
+        self._groups.append(g)
+
     @classmethod
     def from_npz(cls, path, compute_dtype=jnp.float32,
                  text_detector: Optional[str] = None) -> "OCREngine":
         """``path``: one npz path, or a list/comma-separated string of
-        paths -> seed ensemble (widths must agree)."""
+        paths -> seed ensemble. Members whose (width, img_h) geometry
+        differs (e.g. the 64-px high-resolution member) land in their own
+        group; all groups' candidates compete at decode time."""
         from manual_yolo_tpu.core.serialization import load_params
 
         paths = (
@@ -148,12 +167,15 @@ class OCREngine:
             if isinstance(path, str)
             else list(path)
         )
-        trees, widths = [], []
+        by_geom: Dict[Tuple[int, int], List] = {}
+        order: List[Tuple[int, int]] = []
         for p in paths:
             params, meta = load_params(p)
-            trees.append(jax.tree_util.tree_map(jnp.asarray, params))
-            widths.append(int(meta.get("width", 256)))
-        assert len(set(widths)) == 1, f"ensemble width mismatch: {widths}"
+            geom = (int(meta.get("width", 256)), int(meta.get("img_h", 32)))
+            if geom not in by_geom:
+                by_geom[geom] = []
+                order.append(geom)
+            by_geom[geom].append(jax.tree_util.tree_map(jnp.asarray, params))
         td = None
         if text_detector:
             import os
@@ -162,8 +184,12 @@ class OCREngine:
                 from manual_yolo_tpu.models import craft as craft_mod
 
                 td = craft_mod.load_npz(text_detector)
-        return cls(trees if len(trees) > 1 else trees[0], width=widths[0],
-                   compute_dtype=compute_dtype, text_detector_params=td)
+        (w0, h0), rest = order[0], order[1:]
+        eng = cls(by_geom[(w0, h0)], width=w0, img_h=h0,
+                  compute_dtype=compute_dtype, text_detector_params=td)
+        for geom in rest:
+            eng._add_group(by_geom[geom], geom[0], geom[1])
+        return eng
 
     # -- device program ----------------------------------------------------
 
@@ -174,15 +200,15 @@ class OCREngine:
         deskewed = img_ops.clahe(img_ops.deskew(gray), clip_limit=2.0)
         return jnp.stack([enhanced, otsu, gray, deskewed])[..., None]
 
-    def _run_parts(self, params, gray_batch, masks):
-        """gray_batch (N, 32, W), masks (M, C);
+    def _run_parts(self, params, gray_batch, masks, n_models):
+        """gray_batch (N, H, W), masks (M, C);
         returns (ids (N, K*M*V, T), conf (N, K*M*V), logits (K, N*V, T, C))
-        — K model forwards (K = ensemble size), M allowlist decodes of each
-        model's logits."""
-        var = jax.vmap(self._variants)(gray_batch)  # (N, V, 32, W, 1)
+        — K model forwards (K = group ensemble size), M allowlist decodes of
+        each model's logits."""
+        var = jax.vmap(self._variants)(gray_batch)  # (N, V, H, W, 1)
         n, v, h, w, c = var.shape
         flat = var.reshape(n * v, h, w, c)
-        if self._n_models > 1:
+        if n_models > 1:
             logits = jax.vmap(
                 lambda p: crnn.forward(p, flat, self.compute_dtype)
             )(params)  # (K, N*V, T, C)
@@ -205,17 +231,17 @@ class OCREngine:
         conf = conf.reshape(k * m, n, v).transpose(1, 0, 2).reshape(n, k * m * v)
         return ids, conf, logits
 
-    def _run_impl(self, params, gray_batch, masks):
-        ids, conf, _ = self._run_parts(params, gray_batch, masks)
+    def _run_impl(self, params, gray_batch, masks, n_models=1):
+        ids, conf, _ = self._run_parts(params, gray_batch, masks, n_models)
         return ids, conf
 
-    def _run_logp_impl(self, params, gray_batch, masks):
-        """_run_impl + EVERY ensemble model's masked log-probs at each
+    def _run_logp_impl(self, params, gray_batch, masks, n_models=1):
+        """_run_impl + EVERY group model's masked log-probs at each
         crop's winning (mask, variant): (N, K, T, C), for the host
         prefix-beam + ensemble-rescore refinement. The winning flat index j
         over (K*M*V) unravels as km = j // V (with m = km % M) and
         v = j % V — the exact reshape order of :meth:`_run_parts`."""
-        ids, conf, logits = self._run_parts(params, gray_batch, masks)
+        ids, conf, logits = self._run_parts(params, gray_batch, masks, n_models)
         n = gray_batch.shape[0]
         v = self.N_VARIANTS
         m = masks.shape[0]
@@ -251,23 +277,35 @@ class OCREngine:
         """
         if not crops_gray:
             return []
+        best: List[Tuple[str, float]] = [("", -1.0)] * len(crops_gray)
+        for g in self._groups:
+            ids, conf = jax.device_get(
+                g.run(g.params, self._pre_batch(g, crops_gray, kind),
+                      self._masks[kind])
+            )
+            for i in range(len(crops_gray)):
+                j = int(np.argmax(conf[i]))
+                c = float(conf[i, j])
+                if c > best[i][1]:
+                    best[i] = (ctc_ops.decode_to_text(ids[i, j]), c)
+        return [
+            (t, c) if c >= min_confidence else ("", c) for t, c in best
+        ]
+
+    def _pre_batch(self, group, crops_gray, kind: str) -> jnp.ndarray:
+        """Stack variable-size gray crops onto a group's input canvas."""
         kpad = self._kind_pad(kind)
-        batch = np.stack(
-            [
-                crnn.preprocess_gray(c, self.width, pad=kpad(c.shape[0]))
-                for c in crops_gray
-            ]
+        return jnp.asarray(
+            np.stack(
+                [
+                    crnn.preprocess_gray(
+                        c, group.width, pad=kpad(c.shape[0]),
+                        img_h=group.img_h,
+                    )
+                    for c in crops_gray
+                ]
+            )
         )
-        ids, conf = jax.device_get(
-            self._run(self.params, jnp.asarray(batch), self._masks[kind])
-        )
-        out = []
-        for i in range(len(crops_gray)):
-            best = int(np.argmax(conf[i]))
-            text = ctc_ops.decode_to_text(ids[i, best])
-            c = float(conf[i, best])
-            out.append((text, c) if c >= min_confidence else ("", c))
-        return out
 
     def read_batch_candidates(
         self, crops_gray: List[np.ndarray], kind: str = "generic",
@@ -291,43 +329,54 @@ class OCREngine:
         if beam is None:
             beam = self.beam
         n = len(crops_gray)
-        kpad = self._kind_pad(kind)
-        batch = np.stack(
-            [
-                crnn.preprocess_gray(c, self.width, pad=kpad(c.shape[0]))
-                for c in crops_gray
-            ]
-        )
-        logps = None
-        if beam:
-            ids, conf, logps = jax.device_get(
-                self._run_logp(self.params, jnp.asarray(batch), self._masks[kind])
-            )
-        else:
-            ids, conf = jax.device_get(
-                self._run(self.params, jnp.asarray(batch), self._masks[kind])
-            )
+        # one device call per geometry group; every group's decodes (and, in
+        # beam mode, every group's winning-variant log-probs) are pooled and
+        # compete on host
+        g_ids, g_conf, g_logps = [], [], []
+        for g in self._groups:
+            batch = self._pre_batch(g, crops_gray, kind)
+            if beam:
+                ids, conf, logps = jax.device_get(
+                    g.run_logp(g.params, batch, self._masks[kind])
+                )
+                g_logps.append(logps)
+            else:
+                ids, conf = jax.device_get(
+                    g.run(g.params, batch, self._masks[kind])
+                )
+            g_ids.append(ids)
+            g_conf.append(conf)
         out = []
         for i in range(n):
-            # stable: on ties the primary mask's variants come first
-            order = np.argsort(-conf[i], kind="stable")
+            # global candidate order across groups, confidence-descending;
+            # stable: on ties the primary group's primary mask comes first
+            flat = [
+                (gi, j)
+                for gi in range(len(self._groups))
+                for j in range(g_conf[gi].shape[1])
+            ]
+            flat.sort(key=lambda t: -float(g_conf[t[0]][i, t[1]]))
             cands: List[Tuple[str, float]] = []
             seen = set()
-            if logps is not None:
-                best_conf = float(conf[i, order[0]])
+            if beam:
+                best_conf = float(g_conf[flat[0][0]][i, flat[0][1]])
                 pool = {}
-                for k in range(logps.shape[1]):
-                    for pfx, _ in ctc_ops.prefix_beam_decode(
-                        logps[i, k], beam_width=self.beam_width
-                    ):
-                        pool.setdefault(pfx)
-                for j in order:
-                    pool.setdefault(tuple(int(x) for x in ids[i, j] if x > 0))
+                for lp in g_logps:
+                    for k in range(lp.shape[1]):
+                        for pfx, _ in ctc_ops.prefix_beam_decode(
+                            lp[i, k], beam_width=self.beam_width
+                        ):
+                            pool.setdefault(pfx)
+                for gi, j in flat:
+                    pool.setdefault(
+                        tuple(int(x) for x in g_ids[gi][i, j] if x > 0)
+                    )
                 scored = sorted(
                     (
                         sum(
-                            ctc_ops.ctc_forward_score(logps[i, k], pfx)
-                            for k in range(logps.shape[1])
+                            ctc_ops.ctc_forward_score(lp[i, k], pfx)
+                            for lp in g_logps
+                            for k in range(lp.shape[1])
                         ),
                         pfx,
                     )
@@ -338,12 +387,12 @@ class OCREngine:
                     if text not in seen:
                         seen.add(text)
                         cands.append((text, best_conf))
-            for j in order:
-                text = ctc_ops.decode_to_text(ids[i, j])
+            for gi, j in flat:
+                text = ctc_ops.decode_to_text(g_ids[gi][i, j])
                 if text in seen:
                     continue
                 seen.add(text)
-                cands.append((text, float(conf[i, j])))
+                cands.append((text, float(g_conf[gi][i, j])))
             out.append(cands)
         return out
 

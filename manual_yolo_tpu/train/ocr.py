@@ -186,8 +186,10 @@ def _draw_chip(rng, arr: np.ndarray, cx: int, cy: int, rad: int) -> None:
     arr[d2 <= r3**2] = outer
 
 
-def render_text(rng, text: str, target_w: int, suffix: str = "") -> np.ndarray:
-    """Render to a (32, target_w) float image in [0,1] with augmentation.
+def render_text(
+    rng, text: str, target_w: int, suffix: str = "", img_h: int = crnn.IMG_H
+) -> np.ndarray:
+    """Render to an (img_h, target_w) float image in [0,1] with augmentation.
 
     ``suffix`` (if any) is rendered AFTER the text, separated by a chip
     glyph, but is not part of the label — see :func:`random_sample`.
@@ -267,7 +269,7 @@ def render_text(rng, text: str, target_w: int, suffix: str = "") -> np.ndarray:
         h, w = arr.shape
         cut = int(rng.integers(1, max(w // 12, 2)))
         arr = arr[:, cut:] if rng.random() < 0.5 else arr[:, : w - cut]
-    return crnn.preprocess_gray(arr, target_w)
+    return crnn.preprocess_gray(arr, target_w, img_h=img_h)
 
 
 @dataclass
@@ -276,6 +278,10 @@ class OCRTrainConfig:
     steps: int = 6000
     batch: int = 64
     width: int = 256
+    # input canvas height: 32 = canonical; 64 = high-resolution member (2x
+    # glyph pixels, same param tree — crnn.forward pools whatever height
+    # remains after the conv stack)
+    img_h: int = crnn.IMG_H
     max_label: int = 28
     lr: float = 1e-3
     hidden: int = 256
@@ -300,7 +306,7 @@ def _encode_label(t: str, max_label: int):
 
 
 def make_batch(rng, cfg: OCRTrainConfig):
-    imgs = np.zeros((cfg.batch, crnn.IMG_H, cfg.width, 1), np.float32)
+    imgs = np.zeros((cfg.batch, cfg.img_h, cfg.width, 1), np.float32)
     labels = np.zeros((cfg.batch, cfg.max_label), np.int32)
     lab_pad = np.ones((cfg.batch, cfg.max_label), np.float32)
     texts = []
@@ -308,14 +314,14 @@ def make_batch(rng, cfg: OCRTrainConfig):
         t, suffix = random_sample(rng)
         t = t[: cfg.max_label]
         texts.append(t)
-        imgs[i, :, :, 0] = render_text(rng, t, cfg.width, suffix)
+        imgs[i, :, :, 0] = render_text(rng, t, cfg.width, suffix, cfg.img_h)
         labels[i], lab_pad[i] = _encode_label(t, cfg.max_label)
     return imgs, labels, lab_pad, texts
 
 
 def build_pool(rng, cfg: OCRTrainConfig, size: int):
     """Pre-render a sample pool so PIL rendering stays off the train loop."""
-    imgs = np.zeros((size, crnn.IMG_H, cfg.width, 1), np.float32)
+    imgs = np.zeros((size, cfg.img_h, cfg.width, 1), np.float32)
     labels = np.zeros((size, cfg.max_label), np.int32)
     lab_pad = np.ones((size, cfg.max_label), np.float32)
     texts = []
@@ -323,7 +329,7 @@ def build_pool(rng, cfg: OCRTrainConfig, size: int):
         t, suffix = random_sample(rng)
         t = t[: cfg.max_label]
         texts.append(t)
-        imgs[i, :, :, 0] = render_text(rng, t, cfg.width, suffix)
+        imgs[i, :, :, 0] = render_text(rng, t, cfg.width, suffix, cfg.img_h)
         labels[i], lab_pad[i] = _encode_label(t, cfg.max_label)
     return imgs, labels, lab_pad, texts
 
@@ -340,7 +346,11 @@ def load_real_pool(cfg: OCRTrainConfig):
     for crop, cname, truth in load_real_crops(
         cfg.real_labels, splits=tuple(cfg.real_splits)
     ):
-        grays.append(crnn.preprocess_gray(OCREngine._to_gray(crop), cfg.width))
+        grays.append(
+            crnn.preprocess_gray(
+                OCREngine._to_gray(crop), cfg.width, img_h=cfg.img_h
+            )
+        )
         # truth may contain charset-external chars (ellipsis); keep charset only
         t = "".join(c for c in truth if c in crnn.CHARSET)[: cfg.max_label]
         l, p = _encode_label(t, cfg.max_label)
@@ -525,7 +535,7 @@ def train_ocr(cfg: OCRTrainConfig, log=print) -> Dict[str, float]:
             if score >= best_acc:
                 best_acc = score
                 meta = {"hidden": cfg.hidden, "width": cfg.width,
-                        "exact_match": acc, "step": s}
+                        "img_h": cfg.img_h, "exact_match": acc, "step": s}
                 if real_acc is not None:
                     meta["real_holdout"] = real_acc
                 save_params(cfg.out_path, params, meta=meta)

@@ -303,3 +303,41 @@ def test_read_batch_candidates_beam_toggle():
     # every greedy candidate survives in the beam-augmented list
     texts_beam = {t for t, _ in with_beam[0]}
     assert {t for t, _ in without[0]} <= texts_beam | {""}
+
+
+def test_multi_geometry_groups_merge_candidates(tmp_path):
+    """Members with different (width, img_h) land in separate geometry
+    groups (each its own device call); candidates from every group compete
+    and the high-resolution member's forward runs at its own height."""
+    import jax
+
+    from manual_yolo_tpu.core.serialization import save_params
+    from manual_yolo_tpu.runtime.ocr import OCREngine
+
+    p1 = crnn.init_params(jax.random.PRNGKey(0), hidden=32)
+    p2 = crnn.init_params(jax.random.PRNGKey(5), hidden=32)
+    # same param TREE serves both heights: only the final pool size varies
+    hi = crnn.forward(p2, jnp.zeros((1, 64, 96, 1)))
+    assert hi.shape == (1, 24, crnn.NUM_CLASSES)
+
+    a, b = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    save_params(a, p1, meta={"hidden": 32, "width": 96, "img_h": 32})
+    save_params(b, p2, meta={"hidden": 32, "width": 128, "img_h": 64})
+    eng = OCREngine.from_npz([a, b])
+    assert len(eng._groups) == 2
+    assert (eng._groups[1].width, eng._groups[1].img_h) == (128, 64)
+
+    rng = np.random.default_rng(0)
+    crops = [rng.random((20, 60)).astype(np.float32) for _ in range(2)]
+    reads = eng.read_batch(crops, "numeric", min_confidence=0.0)
+    assert len(reads) == 2 and all(isinstance(c, float) for _, c in reads)
+    cands = eng.read_batch_candidates(crops, "name")
+    assert all(len(c) >= 1 for c in cands)
+    # single-group engine from the same primary member: its candidate texts
+    # are a subset of the two-group pool's (groups only ADD candidates)
+    solo = OCREngine.from_npz([a])
+    solo.beam = eng.beam = False
+    s = solo.read_batch_candidates(crops, "name")
+    m = eng.read_batch_candidates(crops, "name")
+    for cs, cm in zip(s, m):
+        assert {t for t, _ in cs} <= {t for t, _ in cm}
