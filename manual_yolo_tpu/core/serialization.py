@@ -66,8 +66,21 @@ def save_params(
             os.remove(tmp)
 
 
+def resolve_weight_path(path: str) -> str:
+    """Resolve a relative weight path against the repo root when it does not
+    exist in the CWD — the CLIs default to ``weights/<name>.npz`` and must
+    keep working when invoked from any directory (package-boundary use)."""
+    if not path or os.path.isabs(path) or os.path.exists(path):
+        return path
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    cand = os.path.join(root, path)
+    return cand if os.path.exists(cand) else path
+
+
 def load_params(path: str, dtype=np.float32) -> Tuple[Any, Dict[str, Any]]:
-    """Load a params pytree; returns (params, meta)."""
+    """Load a params pytree; returns (params, meta). Relative paths that
+    don't exist in the CWD fall back to the repo root (CLI defaults)."""
+    path = resolve_weight_path(path)
     with np.load(path, allow_pickle=False) as z:
         header = json.loads(bytes(z["__struct__"].tobytes()).decode())
         n = sum(1 for k in z.files if k.startswith("a"))

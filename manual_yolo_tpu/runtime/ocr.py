@@ -180,6 +180,9 @@ class OCREngine:
         if text_detector:
             import os
 
+            from manual_yolo_tpu.core.serialization import resolve_weight_path
+
+            text_detector = resolve_weight_path(text_detector)
             if os.path.exists(text_detector):
                 from manual_yolo_tpu.models import craft as craft_mod
 
@@ -615,7 +618,13 @@ def default_ocr_engine(
     """
     import os
 
-    present = [p for p in weights.split(",") if p and os.path.exists(p)]
+    from manual_yolo_tpu.core.serialization import resolve_weight_path
+
+    present = [
+        p
+        for p in (resolve_weight_path(q) for q in weights.split(",") if q)
+        if os.path.exists(p)
+    ]
     if not present:
         return None
     return OCREngine.from_npz(present, text_detector=text_detector)

@@ -1,5 +1,6 @@
 """Native npz checkpoint format round-trip tests."""
 
+import os
 import numpy as np
 import pytest
 
@@ -51,3 +52,19 @@ def test_jax_arrays_serializable(tmp_path):
     save_params(p, params)
     loaded, _ = load_params(p)
     np.testing.assert_allclose(loaded["w"], 1.0)
+
+
+def test_resolve_weight_path_falls_back_to_repo_root(tmp_path, monkeypatch):
+    """CLI defaults like 'weights/x.npz' must resolve when the process CWD
+    is outside the repo (package-boundary invocation)."""
+    from manual_yolo_tpu.core.serialization import resolve_weight_path
+
+    monkeypatch.chdir(tmp_path)
+    p = resolve_weight_path("weights/poker_detector.npz")
+    assert os.path.isabs(p) and os.path.exists(p)
+    # absolute and existing-relative paths pass through untouched
+    assert resolve_weight_path(str(tmp_path)) == str(tmp_path)
+    (tmp_path / "local.npz").write_bytes(b"x")
+    assert resolve_weight_path("local.npz") == "local.npz"
+    # missing everywhere: returned as-is (caller raises its own error)
+    assert resolve_weight_path("nope/missing.npz") == "nope/missing.npz"
