@@ -120,3 +120,68 @@ def test_spatial_sharding_forward(eight_devices):
     out_sharded = np.asarray(fn(params, x_s))
     out_ref = np.asarray(yolov8.forward_classify(params, spec, x))
     np.testing.assert_allclose(out_sharded, out_ref, atol=1e-3, rtol=1e-3)
+
+
+def test_tp_train_step_matches_dp(eight_devices):
+    """Tensor-parallel (channel-sharded weights + optimizer state) step gives
+    the same loss as the replicated DP step, and the updated params actually
+    come back sharded over the model axis."""
+    import optax
+
+    from manual_yolo_tpu.parallel.trainer import (
+        channel_shardings,
+        make_dp_train_step,
+        make_tp_train_step,
+    )
+
+    spec = yolov8.build_spec("detect", "n", nc=8)
+    params = yolov8.init_params(jax.random.PRNGKey(0), spec)
+    ema = jax.tree_util.tree_map(lambda x: x, params)
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(params)
+
+    B, S, M = 8, 64, 8
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((B, S, S, 3), np.float32))
+    t = np.zeros((B, M, 5), np.float32)
+    m = np.zeros((B, M), bool)
+    t[:, 0] = [1, 4, 4, 40, 40]
+    m[:, 0] = True
+    t, m = jnp.asarray(t), jnp.asarray(m)
+
+    mesh1 = mesh_lib.make_mesh(8, axes=("data",))
+    dp = make_dp_train_step(spec, tx, mesh1, compute_dtype=jnp.float32)
+    repl = NamedSharding(mesh1, P())
+    bsh = NamedSharding(mesh1, P("data"))
+    _, _, _, loss_dp, _ = dp(
+        jax.device_put(params, repl),
+        jax.device_put(ema, repl),
+        jax.device_put(opt_state, repl),
+        jnp.asarray(0, jnp.int32),
+        jax.device_put(x, bsh),
+        jax.device_put(t, bsh),
+        jax.device_put(m, bsh),
+    )
+
+    mesh2 = mesh_lib.make_mesh(8, axes=("data", "model"))
+    tp, place = make_tp_train_step(spec, tx, mesh2, compute_dtype=jnp.float32)
+    p_s, e_s, o_s, x_s, t_s, m_s = place(params, ema, opt_state, x, t, m)
+    p2, e2, o2, loss_tp, _ = tp(
+        p_s, e_s, o_s, jnp.asarray(0, jnp.int32), x_s, t_s, m_s
+    )
+    jax.block_until_ready(loss_tp)
+    assert np.isfinite(float(loss_tp))
+    assert abs(float(loss_tp) - float(loss_dp)) < 1e-2
+
+    # stem conv kernel (3,3,3,16): out-channel dim stays sharded over 'model'
+    want = channel_shardings(mesh2, params, "model")
+    leaf_out = jax.tree_util.tree_leaves(p2)
+    leaf_want = jax.tree_util.tree_leaves(want)
+    n_sharded = 0
+    for lo, lw in zip(leaf_out, leaf_want):
+        if lw.spec != P():
+            assert lo.sharding.is_equivalent_to(lw, lo.ndim), (
+                f"{lo.shape}: {lo.sharding} vs {lw}"
+            )
+            n_sharded += 1
+    assert n_sharded > 100  # the bulk of the 297 leaves really shard
