@@ -34,9 +34,18 @@ SRC_HW = (1200, 1920)
 # 64 measured ~equal to 32 on strong link episodes (257 vs 247 fps) and
 # ~2x better on weak ones (205 vs 98) — the robust default.
 BATCH = int(os.environ.get("MYOLO_BENCH_BATCH", "64"))
-WARM_BATCHES = 10  # raw_active + skip + all 8 segs-mode jitter deltas
-MEAS_BATCHES = 12
+# raw_active + skip + all 8 segs-mode jitter deltas
+WARM_BATCHES = int(os.environ.get("MYOLO_BENCH_WARM", "10"))
+MEAS_BATCHES = int(os.environ.get("MYOLO_BENCH_MEAS", "12"))
 IN_FLIGHT = 2
+# Wall-clock discipline (round-2 lesson: BENCH_r02 rc=124 — the 2x1200 s
+# watchdog budget outlived the driver's deadline and a single tunnel stall
+# erased the round's number). Attempts are short, the inner process emits a
+# valid JSON line after the FIRST successful measurement pass, and the
+# watchdog keeps the last line seen so even a mid-run hang still reports.
+ATTEMPT_TIMEOUT = int(os.environ.get("MYOLO_BENCH_ATTEMPT_TIMEOUT", "420"))
+SOFT_DEADLINE = ATTEMPT_TIMEOUT - 90  # inner: stop starting new phases here
+WARMUP_DEADLINE = 240  # inner: abandon remaining warmup compiles here
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
 
@@ -100,23 +109,43 @@ def build_stream():
     )
 
 
-def measure_stream(stream, frames, meas_batches=MEAS_BATCHES) -> float:
+def batch_at(frames, t):
+    return [frames[(t + i) % len(frames)] for i in range(BATCH)]
+
+
+def warmup_stream(stream, frames, deadline: float | None = None,
+                  warm_batches: int = WARM_BATCHES) -> int:
+    """Compile the delta-mode programs: raw (first batch), skip (repeat),
+    then the per-segment mode across several stream deltas so every
+    payload-size bucket the stream will hit is compiled before measurement
+    starts. ``deadline`` (absolute perf_counter value) bounds the exposure:
+    past it the remaining programs compile lazily inside pass 1 — a slower
+    first pass but a pass that HAPPENS, instead of a watchdog kill."""
+    warmed = 0
+    for t in (0, 0, 1, 2, 3, 4, 5, 6, 7, 8)[: max(warm_batches, 3)]:
+        stream.submit_batch(batch_at(frames, t))
+        warmed += 1
+        if stream.in_flight > IN_FLIGHT:
+            stream.collect_batch()
+        if deadline is not None and time.perf_counter() > deadline:
+            break
+    while stream.in_flight:
+        stream.collect_batch()
+    return warmed
+
+
+def measure_stream(stream, frames, meas_batches=MEAS_BATCHES,
+                   resync: int = 0) -> float:
     """End-to-end fps through the batched stream (captures link + host +
     device). The stream EVOLVES batch to batch — slot i of batch t holds
     frame (t+i) mod n, so consecutive batches differ by one step of the
     jittered stream and the delta encoder sees real work every submit
-    (never the all-zero easy case a repeated batch would give it)."""
-    def batch_at(t):
-        return [frames[(t + i) % len(frames)] for i in range(BATCH)]
+    (never the all-zero easy case a repeated batch would give it).
 
-    # warmup compiles the delta-mode programs: raw (first batch), skip
-    # (repeat), then the per-segment mode across several jitter deltas so
-    # every payload-size bucket the stream will hit is compiled before
-    # measurement starts
-    for t in (0, 0, 1, 2, 3, 4, 5, 6, 7, 8)[: max(WARM_BATCHES, 3)]:
-        stream.submit_batch(batch_at(t))
-        if stream.in_flight > IN_FLIGHT:
-            stream.collect_batch()
+    Callers must run :func:`warmup_stream` first; ``resync`` adds a couple
+    of untimed batches to re-enter steady state between passes."""
+    for t in range(resync):
+        stream.submit_batch(batch_at(frames, t))
     while stream.in_flight:
         stream.collect_batch()
 
@@ -126,7 +155,7 @@ def measure_stream(stream, frames, meas_batches=MEAS_BATCHES) -> float:
     t0 = time.perf_counter()
     for t in range(meas_batches):
         sub_ts.append(time.perf_counter())
-        stream.submit_batch(batch_at(t))
+        stream.submit_batch(batch_at(frames, t))
         if stream.in_flight > IN_FLIGHT:
             done += len(stream.collect_batch())
             lats.append(time.perf_counter() - sub_ts[len(lats)])
@@ -201,74 +230,121 @@ def probe_link(frames) -> dict:
 
 
 def run_measurement():
+    """Measure and EMIT INCREMENTALLY: a complete, driver-parseable JSON
+    line goes out after the FIRST successful measurement pass, and each
+    later phase (extra passes, companions) re-emits an enriched line. The
+    watchdog keeps only the LAST line, so a hang mid-phase costs the extra
+    detail, never the number."""
+    import sys
+
+    t_start = time.perf_counter()
     _enable_compile_cache()
     stream = build_stream()
     frames = make_frames()
 
+    record = {
+        "metric": "full_pipeline_fps_per_chip_1920x1200",
+        "value": None,
+        "unit": "frames/s",
+        "vs_baseline": None,
+        "batch": BATCH,
+    }
+
+    def emit(fps, **extra):
+        record["value"] = round(fps, 2)
+        record["vs_baseline"] = round(fps / BASELINE_FPS, 3)
+        record.update(extra)
+        print(json.dumps(record), flush=True)
+
+    def elapsed():
+        return time.perf_counter() - t_start
+
+    warmed = warmup_stream(stream, frames,
+                           deadline=t_start + WARMUP_DEADLINE)
+    print(f"[bench] warmup {warmed} batches in {elapsed():.0f}s",
+          file=sys.stderr, flush=True)
+
     # the tunnel's effective rate varies run to run (docs/BENCH_NOTES.md:
-    # 16-70 MB/s episodes); median of 3 passes keeps one bad episode from
-    # defining the headline
+    # 16-70 MB/s episodes); median of up to 3 passes keeps one bad episode
+    # from defining the headline — but the FIRST pass already emits
     passes = []
     lat_ms = None
-    for _ in range(3):
-        f = measure_stream(stream, frames)
+    for i in range(3):
+        f = measure_stream(stream, frames, resync=2 if i else 0)
         passes.append(f)
         if f == max(passes):  # latency of the best pass (least stall noise)
             lat_ms = measure_stream.last_latency_ms
-    fps = float(np.median(passes))
-    static_fps = measure_static_stream(stream, frames)
-    compute_fps = measure_compute_only(stream)
-    link = probe_link(frames)
-
-    print(
-        json.dumps(
-            {
-                "metric": "full_pipeline_fps_per_chip_1920x1200",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-                "compute_only_fps": round(compute_fps, 2),
-                "static_stream_fps": round(static_fps, 2),
-                "batch_latency_ms_p50": lat_ms,
-                "batch": BATCH,
-                "delta_modes": dict(stream.mode_counts),
-                "crop_modes": dict(stream.crop_mode_counts),
-                **link,
-            }
+        emit(
+            float(np.median(passes)),
+            passes=[round(p, 2) for p in passes],
+            batch_latency_ms_p50=lat_ms,
+            delta_modes=dict(stream.mode_counts),
+            crop_modes=dict(stream.crop_mode_counts),
         )
-    )
+        if elapsed() > SOFT_DEADLINE:
+            print(f"[bench] soft deadline after pass {i + 1}",
+                  file=sys.stderr, flush=True)
+            return
+    fps = float(np.median(passes))
+
+    # companions, cheapest-first, each guarded by the soft deadline
+    if elapsed() <= SOFT_DEADLINE:
+        emit(fps, compute_only_fps=round(measure_compute_only(stream), 2))
+    if elapsed() <= SOFT_DEADLINE:
+        emit(fps, **probe_link(frames))
+    if elapsed() <= SOFT_DEADLINE:
+        emit(fps, static_stream_fps=round(
+            measure_static_stream(stream, frames), 2))
 
 
 def main():
     """Watchdog wrapper: device_put / fetch / remote-compile calls through
     the tunnel occasionally hang forever (docs/BENCH_NOTES.md), so the
-    measurement runs in a subprocess with a deadline and one retry — the
-    driver always gets a JSON line or a clean nonzero exit."""
+    measurement runs in a subprocess with a per-attempt deadline
+    (ATTEMPT_TIMEOUT, default 420 s — two attempts fit well inside the
+    driver's budget). The child's stdout is streamed live and every JSON
+    line is kept: on success the LAST (richest) line is printed; on a hang
+    the child is killed and the last line seen still reports the
+    already-measured number. Only a hang before pass 1 costs an attempt."""
     import subprocess
     import sys
+    import threading
 
     if os.environ.get("BENCH_INNER"):
         run_measurement()
         return
     env = dict(os.environ, BENCH_INNER="1")
+    last_json: list = []
     for attempt in range(2):
-        try:
-            out = subprocess.run(
-                [sys.executable, "-u", os.path.abspath(__file__)],
-                env=env, timeout=1200, capture_output=True, text=True,
-            )
-        except subprocess.TimeoutExpired:
-            print(f"bench attempt {attempt + 1} hung >20min; retrying",
-                  file=sys.stderr)
-            continue
-        line = next(
-            (ln for ln in out.stdout.splitlines() if ln.startswith("{")), None
+        proc = subprocess.Popen(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, start_new_session=True,
         )
-        if out.returncode == 0 and line:
-            print(line)
+
+        def _reader(pipe=proc.stdout):
+            for ln in pipe:
+                ln = ln.rstrip("\n")
+                if ln.startswith("{") and ln.endswith("}"):
+                    last_json.append(ln)
+                else:
+                    print(ln, file=sys.stderr, flush=True)
+
+        rt = threading.Thread(target=_reader, daemon=True)
+        rt.start()
+        try:
+            proc.wait(timeout=ATTEMPT_TIMEOUT)
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {attempt + 1} exceeded {ATTEMPT_TIMEOUT}s; "
+                  f"killing", file=sys.stderr, flush=True)
+            proc.kill()
+            proc.wait()
+        rt.join(timeout=10)
+        if last_json:
+            print(last_json[-1], flush=True)
             return
-        print(f"bench attempt {attempt + 1} rc={out.returncode}\n"
-              f"{out.stderr[-2000:]}", file=sys.stderr)
+        print(f"bench attempt {attempt + 1} rc={proc.returncode}, "
+              f"no JSON line", file=sys.stderr, flush=True)
     raise SystemExit(1)
 
 
