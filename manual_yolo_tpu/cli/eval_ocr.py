@@ -123,6 +123,10 @@ def main(argv=None) -> int:
     ap.add_argument("--no-beam", action="store_true",
                     help="disable the prefix-beam candidate refinement "
                          "(greedy-only decode, for A/B comparison)")
+    ap.add_argument("--escalate", type=float, default=None,
+                    help="beam escalation confidence threshold for "
+                         "read_fields (1.01 = beam everything, 0 = greedy "
+                         "unless validation failed); default = engine's")
     args = ap.parse_args(argv)
 
     from manual_yolo_tpu.runtime.ocr import OCREngine
@@ -130,6 +134,8 @@ def main(argv=None) -> int:
     engine = OCREngine.from_npz(args.weights, text_detector=args.text_detector or None)
     if args.no_beam:
         engine.beam = False
+    if args.escalate is not None:
+        engine.beam_escalate_conf = args.escalate
     res = evaluate_real(
         engine, args.labels, args.min_confidence,
         splits=tuple(args.splits.split(",")),

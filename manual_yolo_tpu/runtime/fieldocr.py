@@ -1,0 +1,136 @@
+"""Changed-field text OCR over a detection stream (memoised CRNN reads).
+
+The reference's live loop runs EasyOCR on every non-rank detection every
+frame (``/root/reference/detect.py:580-600`` -> ``:231-251``) — names,
+stacks, bets, pot, game id. On a live table those fields repaint rarely,
+so re-reading static pixels every frame is wasted recognizer work AND
+wasted link bytes. This module keeps the reference's per-frame semantics
+(every eligible field carries its text every frame) while paying the
+recognizer only for fields whose PIXELS changed:
+
+  * per (slot, class_id) cache of the last-read crop and its text — the
+    table taxonomy has exactly one element per class (villian3_stack,
+    total_pot, ...), so the class id identifies the field;
+  * photometric tolerance: a global brightness/channel shift (the dominant
+    frame-to-frame capture noise) moves every pixel of a crop by the same
+    per-channel constant, so the change test is on the SPAN of the pixel
+    delta, not its magnitude — jitter rides free, content repaints (text
+    redraw, card deal, button flip) trip it;
+  * all changed fields of a whole batch ride ONE ``read_fields`` call
+    (grouped by kind inside the engine, size-bucketed device programs).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from manual_yolo_tpu.game import taxonomy
+
+# max per-channel span of (crop - cached crop) still considered "the same
+# content": a pure shift has span 0; clipping at 0/255 widens it by a few
+# counts; any text/content repaint produces spans in the hundreds
+SHIFT_SPAN = 10
+# and the shift itself must be small (two +-6 jitters are at most 12 apart)
+SHIFT_ABS = 24
+
+
+def is_text_field(class_name: str) -> bool:
+    """OCR-eligible classes (the reference's cascade fields, minus ranks
+    and suits which the classifier path owns — detect.py:231-251)."""
+    if class_name in taxonomy.RANK_CLASSES:
+        return False
+    return class_name.endswith(("_name", "_stack", "_bet")) or class_name in (
+        "total_pot", "game_id", "iinput_field", "my_stack", "my_bet",
+    )
+
+
+def same_content(cached: np.ndarray, crop: np.ndarray) -> bool:
+    """True when ``crop`` differs from ``cached`` by at most a global
+    per-channel photometric shift (plus clipping slack)."""
+    if cached.shape != crop.shape:
+        return False
+    d = crop.astype(np.int16) - cached
+    flat = d.reshape(-1, d.shape[-1]) if d.ndim == 3 else d.reshape(-1, 1)
+    lo = flat.min(axis=0)
+    hi = flat.max(axis=0)
+    return bool(
+        (hi - lo <= SHIFT_SPAN).all()
+        and (np.abs(flat.mean(axis=0)) <= SHIFT_ABS).all()
+    )
+
+
+class FieldOCRMemo:
+    """Batched changed-field OCR over per-slot detection results.
+
+    One instance serves a whole :class:`BatchStream`: slot ``i`` is one
+    stream lane (one table / one capture source), and the cache key is
+    ``(slot, class_id)``. Call :meth:`process` after ``collect_batch``;
+    it fills ``det["ocr_text"]`` in place for every eligible field —
+    from cache when the pixels only shifted, from the recognizer (one
+    batched call for ALL slots' changed fields) otherwise.
+    """
+
+    def __init__(self, engine, pad: int = 2, max_read_per_batch: int = 512):
+        self.engine = engine
+        self.pad = pad
+        self.max_read_per_batch = max_read_per_batch
+        self._cache: Dict[Tuple[int, int], Tuple[np.ndarray, str]] = {}
+        self.fields_seen = 0
+        self.fields_read = 0
+        self.fields_memo = 0
+        self.fields_deferred = 0
+
+    def process(self, frames: List[np.ndarray],
+                results: List[List[dict]]) -> int:
+        """Fill ``ocr_text`` on eligible fields; returns #recognizer reads."""
+        from manual_yolo_tpu.runtime.native import crop_u8
+
+        refs: List[Tuple[int, int, Tuple[int, int], np.ndarray]] = []
+        crops: List[np.ndarray] = []
+        names: List[str] = []
+        p = self.pad
+        for slot, (frame, dets) in enumerate(zip(frames, results)):
+            if frame is None:
+                continue
+            for di, d in enumerate(dets):
+                name = d["class_name"]
+                if not is_text_field(name):
+                    continue
+                self.fields_seen += 1
+                x1, y1, x2, y2 = d["bbox"]
+                crop = crop_u8(frame, y1 - p, x1 - p, y2 + p, x2 + p)
+                if crop.size == 0:
+                    continue
+                key = (slot, d["class_id"])
+                hit = self._cache.get(key)
+                if hit is not None and same_content(hit[0], crop):
+                    d["ocr_text"] = hit[1]
+                    self.fields_memo += 1
+                    continue
+                if len(crops) >= self.max_read_per_batch:
+                    # overload guard: better one stale field than an
+                    # unbounded recognizer batch; it re-tries next batch
+                    self.fields_deferred += 1
+                    if hit is not None:
+                        d["ocr_text"] = hit[1]
+                    continue
+                refs.append((slot, di, key, crop.astype(np.int16)))
+                crops.append(crop)
+                names.append(name)
+        if crops:
+            texts = self.engine.read_fields(crops, names)
+            self.fields_read += len(crops)
+            for (slot, di, key, crop_i16), text in zip(refs, texts):
+                results[slot][di]["ocr_text"] = text or ""
+                self._cache[key] = (crop_i16, text or "")
+        return len(crops)
+
+    def stats(self) -> Dict[str, int]:
+        return {
+            "fields_seen": self.fields_seen,
+            "fields_read": self.fields_read,
+            "fields_memo": self.fields_memo,
+            "fields_deferred": self.fields_deferred,
+        }

@@ -122,6 +122,13 @@ class OCREngine:
         # fields, and self.beam = False turns it off.
         self.beam = True
         self.beam_width = 8
+        # read_fields escalation policy: crops are decoded greedy first and
+        # only the ones whose winning greedy candidate failed validation OR
+        # won with confidence below this threshold pay the beam's host cost.
+        # Calibrated on data/ocr_real (cli/eval_ocr.py --escalate): see
+        # docs/BENCH_NOTES.md; 1.0 = beam everything (the old behavior),
+        # 0.0 = pure greedy.
+        self.beam_escalate_conf = 0.90
         # optional CRAFT text detector (the EasyOCR detection stage): enables
         # read_region() on multi-line / loose crops
         self._craft_params = text_detector_params
@@ -255,6 +262,39 @@ class OCREngine:
         logp = jax.nn.log_softmax(sel + masks[mm][None, :, None, :], axis=-1)
         return ids, conf, jnp.transpose(logp, (1, 0, 2, 3))
 
+    # batch-size bucketing: each distinct leading dim N would otherwise
+    # compile its own XLA program (remote compiles cost 20-40 s through the
+    # tunnel). Calls are chunked to at most MAX_CHUNK crops and padded up to
+    # the next power of two, so the compiled-program set is small and fixed
+    # regardless of how many fields a frame/batch produces.
+    MAX_CHUNK = 128
+
+    def _run_bucketed(self, fn, params, batch: jnp.ndarray, masks):
+        """Apply ``fn(params, chunk, masks)`` over bucketed chunks of
+        ``batch`` (leading dim) and concatenate the per-crop outputs. Pad
+        lanes are zero images; their outputs are sliced away (every output's
+        dim 0 is the crop axis)."""
+        n = batch.shape[0]
+        parts: List[Tuple] = []
+        for s in range(0, n, self.MAX_CHUNK):
+            chunk = batch[s:s + self.MAX_CHUNK]
+            m = chunk.shape[0]
+            b = 1
+            while b < m:
+                b *= 2
+            if b > m:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((b - m,) + chunk.shape[1:],
+                                      chunk.dtype)]
+                )
+            res = fn(params, chunk, masks)
+            if not isinstance(res, tuple):
+                res = (res,)
+            parts.append(tuple(np.asarray(r)[:m] for r in jax.device_get(res)))
+        return tuple(
+            np.concatenate([p[i] for p in parts]) for i in range(len(parts[0]))
+        )
+
     # -- host API ----------------------------------------------------------
 
     @staticmethod
@@ -282,9 +322,9 @@ class OCREngine:
             return []
         best: List[Tuple[str, float]] = [("", -1.0)] * len(crops_gray)
         for g in self._groups:
-            ids, conf = jax.device_get(
-                g.run(g.params, self._pre_batch(g, crops_gray, kind),
-                      self._masks[kind])
+            ids, conf = self._run_bucketed(
+                g.run, g.params, self._pre_batch(g, crops_gray, kind),
+                self._masks[kind],
             )
             for i in range(len(crops_gray)):
                 j = int(np.argmax(conf[i]))
@@ -339,13 +379,13 @@ class OCREngine:
         for g in self._groups:
             batch = self._pre_batch(g, crops_gray, kind)
             if beam:
-                ids, conf, logps = jax.device_get(
-                    g.run_logp(g.params, batch, self._masks[kind])
+                ids, conf, logps = self._run_bucketed(
+                    g.run_logp, g.params, batch, self._masks[kind]
                 )
                 g_logps.append(logps)
             else:
-                ids, conf = jax.device_get(
-                    g.run(g.params, batch, self._masks[kind])
+                ids, conf = self._run_bucketed(
+                    g.run, g.params, batch, self._masks[kind]
                 )
             g_ids.append(ids)
             g_conf.append(conf)
@@ -458,13 +498,22 @@ class OCREngine:
         """First candidate (confidence-descending) above threshold that
         passes per-kind validation (reference behavior = best-only; the
         fall-through only ever recovers fields the reference would drop)."""
+        return cls._pick_validated_conf(kind, low, cands, thr)[0]
+
+    @classmethod
+    def _pick_validated_conf(
+        cls, kind: str, low: str, cands: List[Tuple[str, float]], thr: float
+    ) -> Tuple[Optional[str], float]:
+        """:meth:`_pick_validated` plus the winning candidate's confidence
+        (-1.0 when nothing validated) — the escalation signal for
+        :meth:`read_fields`' greedy-then-beam policy."""
         for text, conf in cands:
             if conf < thr:
-                return None
+                return None, -1.0
             v = cls._validate(kind, low, text)
             if v:
-                return v
-        return None
+                return v, conf
+        return None, -1.0
 
     # make the engine itself usable where a read_field callable is expected
     __call__ = read_field
@@ -550,18 +599,38 @@ class OCREngine:
             groups.setdefault(field_kind(name), []).append(i)
         for kind, idxs in groups.items():
             try:
+                # greedy first; only low-confidence / failed reads pay the
+                # prefix-beam's ~25 ms/crop host cost (escalation threshold
+                # calibrated on data/ocr_real — cli/eval_ocr.py --escalate)
                 results = self.read_batch_candidates(
-                    [grays[i] for i in idxs], kind
+                    [grays[i] for i in idxs], kind, beam=False
                 )
+                escalate: List[int] = []
+                for i, cands in zip(idxs, results):
+                    low = class_names[i].lower()
+                    out[i], conf = self._pick_validated_conf(
+                        kind, low, cands,
+                        self._field_threshold(low, min_confidence),
+                    )
+                    if self.beam and (
+                        out[i] is None or conf < self.beam_escalate_conf
+                    ):
+                        escalate.append(i)
+                if escalate:
+                    results = self.read_batch_candidates(
+                        [grays[i] for i in escalate], kind, beam=True
+                    )
+                    for i, cands in zip(escalate, results):
+                        low = class_names[i].lower()
+                        v = self._pick_validated(
+                            kind, low, cands,
+                            self._field_threshold(low, min_confidence),
+                        )
+                        if v is not None:
+                            out[i] = v
             except Exception as e:  # degrade the group, keep the frame alive
                 print(f"OCR batch error for kind={kind}: {e}")
                 continue
-            for i, cands in zip(idxs, results):
-                low = class_names[i].lower()
-                out[i] = self._pick_validated(
-                    kind, low, cands,
-                    self._field_threshold(low, min_confidence),
-                )
         # CRAFT fallback: fields the single-line read left empty whose crop
         # is tall enough to hold >1 text line get a detect-then-read retry
         # (EasyOCR's readtext is exactly this two-stage cascade)

@@ -136,9 +136,9 @@ def test_read_fields_one_device_call_per_kind():
     calls = []
     orig = eng.read_batch_candidates
 
-    def counting_read_batch(crops, kind):
-        calls.append((kind, len(crops)))
-        return orig(crops, kind)
+    def counting_read_batch(crops, kind, beam=None):
+        calls.append((kind, len(crops), beam))
+        return orig(crops, kind, beam=beam)
 
     eng.read_batch_candidates = counting_read_batch
     rng = np.random.default_rng(0)
@@ -146,7 +146,12 @@ def test_read_fields_one_device_call_per_kind():
     names = ["my_stack", "villian1_name", "total_pot", "villian2_name", "my_bet"]
     out = eng.read_fields(crops, names)
     assert len(out) == 5
-    assert sorted(calls) == [("name", 2), ("numeric", 3)]
+    # one GREEDY batch per kind; unreadable noise crops may additionally
+    # escalate to at most one BEAM batch per kind
+    greedy = sorted((k, n) for k, n, b in calls if not b)
+    beam = [(k, n) for k, n, b in calls if b]
+    assert greedy == [("name", 2), ("numeric", 3)]
+    assert len(beam) <= 2
     # empty crops are skipped without a device call
     calls.clear()
     out = eng.read_fields([np.zeros((0, 0, 3), np.uint8), None], ["my_bet", "game_id"])
@@ -341,3 +346,27 @@ def test_multi_geometry_groups_merge_candidates(tmp_path):
     m = eng.read_batch_candidates(crops, "name")
     for cs, cm in zip(s, m):
         assert {t for t, _ in cs} <= {t for t, _ in cm}
+
+
+def test_run_bucketed_pads_and_chunks_consistently():
+    """Bucketed execution (pad-to-power-of-2, chunk at MAX_CHUNK) must
+    return exactly the per-crop results of individual calls — pad lanes
+    never leak, chunk boundaries never shift results."""
+    from manual_yolo_tpu.runtime.ocr import OCREngine
+
+    params = crnn.init_params(jax.random.PRNGKey(0), hidden=32)
+    eng = OCREngine(params, width=96)
+    eng.MAX_CHUNK = 4  # force chunking with a small crop count
+    rng = np.random.default_rng(1)
+    crops = [
+        rng.integers(0, 255, (20, 30 + 5 * i, 3), np.uint8).astype(np.uint8)
+        for i in range(7)  # 7 -> chunks of 4 (exact) + 3 (padded to 4)
+    ]
+    grays = [eng._to_gray(c) for c in crops]
+    batched = eng.read_batch(grays, "numeric", min_confidence=0.0)
+    singles = [
+        eng.read_batch([g], "numeric", min_confidence=0.0)[0] for g in grays
+    ]
+    for (tb, cb), (ts, cs) in zip(batched, singles):
+        assert tb == ts
+        assert abs(cb - cs) < 1e-5
