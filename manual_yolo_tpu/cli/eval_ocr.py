@@ -124,9 +124,10 @@ def main(argv=None) -> int:
                     help="disable the prefix-beam candidate refinement "
                          "(greedy-only decode, for A/B comparison)")
     ap.add_argument("--escalate", type=float, default=None,
-                    help="beam escalation confidence threshold for "
-                         "read_fields (1.01 = beam everything, 0 = greedy "
-                         "unless validation failed); default = engine's")
+                    help="beam escalation confidence threshold applied to "
+                         "ALL kinds (1.01 = beam everything, 0 = greedy "
+                         "unless validation failed); default = engine's "
+                         "per-kind policy")
     args = ap.parse_args(argv)
 
     from manual_yolo_tpu.runtime.ocr import OCREngine
@@ -135,7 +136,10 @@ def main(argv=None) -> int:
     if args.no_beam:
         engine.beam = False
     if args.escalate is not None:
-        engine.beam_escalate_conf = args.escalate
+        engine.beam_escalate_conf = {
+            k: args.escalate
+            for k in ("numeric", "name", "card", "game_id", "generic")
+        }
     res = evaluate_real(
         engine, args.labels, args.min_confidence,
         splits=tuple(args.splits.split(",")),

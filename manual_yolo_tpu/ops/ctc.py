@@ -78,6 +78,10 @@ def ctc_forward_score(logp: np.ndarray, ids) -> float:
     idiosyncrasy."""
     T, _ = logp.shape
     L = len(ids)
+    if L == 0:
+        # all-blank path (the general recursion below would mis-broadcast
+        # its skip shift on the length-1 alpha)
+        return float(logp[:, BLANK].sum())
     ext = np.zeros(2 * L + 1, np.int64)
     ext[1::2] = ids
     NEG = -np.inf
@@ -95,6 +99,22 @@ def ctc_forward_score(logp: np.ndarray, ids) -> float:
         tot = np.where(can_skip, np.logaddexp(stay, shifted2), stay)
         alpha = tot + logp[t, ext]
     return float(np.logaddexp(alpha[-1], alpha[-2] if L else NEG))
+
+
+def score_candidates(logp: np.ndarray, candidates: Sequence) -> np.ndarray:
+    """``ctc_forward_score`` for MANY candidates against one (T, C)
+    posterior — one native call when the host library is available
+    (native/runtime.cpp::ctc_score_multi), else the numpy loop. Used by the
+    ensemble rescorer, where the per-candidate Python/numpy overhead was
+    the dominant host cost of a beam-refined read."""
+    from manual_yolo_tpu.runtime.native import ctc_score_multi_native
+
+    out = ctc_score_multi_native(logp, candidates)
+    if out is not None:
+        return out
+    return np.asarray(
+        [ctc_forward_score(logp, ids) for ids in candidates], np.float32
+    )
 
 
 def prefix_beam_decode(
@@ -116,7 +136,18 @@ def prefix_beam_decode(
     ``prune_lp`` are considered (beam cost is tiny: ~beam*topk per frame).
     Returns [(text_ids tuple, log_posterior)] best-first, length
     <= beam_width.
+
+    The tight loop runs in native C++ when the host runtime library is
+    available (native/runtime.cpp::ctc_beam — same algorithm, ~100x
+    faster, which is what lets the streaming loop afford beam refinement);
+    this numpy implementation is the fallback and the parity oracle
+    (tests/test_native.py).
     """
+    from manual_yolo_tpu.runtime.native import ctc_beam_native
+
+    native = ctc_beam_native(logp, beam_width, topk_chars, prune_lp)
+    if native is not None:
+        return native
     T, C = logp.shape
     NEG = -np.inf
 

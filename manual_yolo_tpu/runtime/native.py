@@ -103,6 +103,22 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.ctc_score.restype = ctypes.c_float
+        lib.ctc_score.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_int32,
+        ]
+        lib.ctc_score_multi.restype = None
+        lib.ctc_score_multi.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+        ]
+        lib.ctc_beam.restype = ctypes.c_int32
+        lib.ctc_beam.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_float, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32,
+        ]
         _lib = lib
         return lib
 
@@ -466,3 +482,51 @@ def crop_u8(img: np.ndarray, y1: int, x1: int, y2: int, x2: int) -> np.ndarray:
         lib.crop_u8(_buf(src), h, w, y1c, x1c, y2c, x2c, _buf(dst))
         return dst
     return np.ascontiguousarray(img[y1c:y2c, x1c:x2c])
+
+
+def ctc_beam_native(logp: np.ndarray, beam_width: int = 8, topk: int = 6,
+                    prune_lp: float = -9.0):
+    """Native CTC prefix beam search; None when the library is unavailable
+    (ops/ctc.py then falls back to its numpy implementation)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lp = np.ascontiguousarray(logp, np.float32)
+    t, c = lp.shape
+    max_len = t
+    out_ids = np.empty((beam_width, max_len), np.int32)
+    out_lens = np.empty((beam_width,), np.int32)
+    out_scores = np.empty((beam_width,), np.float32)
+    n = lib.ctc_beam(
+        lp.ctypes.data, t, c, beam_width, topk, ctypes.c_float(prune_lp),
+        out_ids.ctypes.data, out_lens.ctypes.data, out_scores.ctypes.data,
+        max_len,
+    )
+    return [
+        (tuple(int(v) for v in out_ids[i, : out_lens[i]]),
+         float(out_scores[i]))
+        for i in range(n)
+    ]
+
+
+def ctc_score_multi_native(logp: np.ndarray, candidates) -> Optional[np.ndarray]:
+    """Score every candidate id-sequence against one (T, C) posterior in a
+    single native call; None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lp = np.ascontiguousarray(logp, np.float32)
+    t, c = lp.shape
+    lens = np.asarray([len(s) for s in candidates], np.int32)
+    flat = (
+        np.concatenate([np.asarray(s, np.int32) for s in candidates])
+        if len(candidates) and lens.sum()
+        else np.zeros((0,), np.int32)
+    )
+    flat = np.ascontiguousarray(flat, np.int32)
+    out = np.empty((len(candidates),), np.float32)
+    lib.ctc_score_multi(
+        lp.ctypes.data, t, c, flat.ctypes.data, lens.ctypes.data,
+        len(candidates), out.ctypes.data,
+    )
+    return out

@@ -122,13 +122,18 @@ class OCREngine:
         # fields, and self.beam = False turns it off.
         self.beam = True
         self.beam_width = 8
-        # read_fields escalation policy: crops are decoded greedy first and
-        # only the ones whose winning greedy candidate failed validation OR
-        # won with confidence below this threshold pay the beam's host cost.
-        # Calibrated on data/ocr_real (cli/eval_ocr.py --escalate): see
-        # docs/BENCH_NOTES.md; 1.0 = beam everything (the old behavior),
-        # 0.0 = pure greedy.
-        self.beam_escalate_conf = 0.90
+        # read_fields escalation policy, PER KIND: crops are decoded greedy
+        # first and only the ones whose winning greedy candidate failed
+        # validation OR won with confidence below the kind's threshold pay
+        # the beam pass (whose real cost on a tunnelled TPU is fetching the
+        # (K, T, C) log-probs for rescoring, ~0.2 MB/crop — the C++ decode
+        # itself is ~0.3 ms/crop). Calibrated on data/ocr_real
+        # (cli/eval_ocr.py --escalate): confidence-gating numeric reads
+        # costs 0.980 -> 0.974 while halving their beam traffic, but
+        # game_id collapses 0.857 -> 0.571 and name 0.907 -> 0.872 — so the
+        # rare kinds always beam (>= 1.01 threshold) and only the hot
+        # numeric kind gates.
+        self.beam_escalate_conf = {"numeric": 0.90}
         # optional CRAFT text detector (the EasyOCR detection stage): enables
         # read_region() on multi-line / loose crops
         self._craft_params = text_detector_params
@@ -265,9 +270,11 @@ class OCREngine:
     # batch-size bucketing: each distinct leading dim N would otherwise
     # compile its own XLA program (remote compiles cost 20-40 s through the
     # tunnel). Calls are chunked to at most MAX_CHUNK crops and padded up to
-    # the next power of two, so the compiled-program set is small and fixed
-    # regardless of how many fields a frame/batch produces.
+    # the next power of two (at least MIN_BUCKET — streaming callers raise
+    # it to shrink the program set further), so the compiled-program set is
+    # small and fixed regardless of how many fields a frame/batch produces.
     MAX_CHUNK = 128
+    MIN_BUCKET = 1
 
     def _run_bucketed(self, fn, params, batch: jnp.ndarray, masks):
         """Apply ``fn(params, chunk, masks)`` over bucketed chunks of
@@ -279,7 +286,7 @@ class OCREngine:
         for s in range(0, n, self.MAX_CHUNK):
             chunk = batch[s:s + self.MAX_CHUNK]
             m = chunk.shape[0]
-            b = 1
+            b = min(self.MAX_CHUNK, max(self.MIN_BUCKET, 1))
             while b < m:
                 b *= 2
             if b > m:
@@ -414,18 +421,17 @@ class OCREngine:
                     pool.setdefault(
                         tuple(int(x) for x in g_ids[gi][i, j] if x > 0)
                     )
-                scored = sorted(
-                    (
-                        sum(
-                            ctc_ops.ctc_forward_score(lp[i, k], pfx)
-                            for lp in g_logps
-                            for k in range(lp.shape[1])
-                        ),
-                        pfx,
-                    )
-                    for pfx in pool
-                )[::-1]
-                for _, pfx in scored:
+                pool_list = list(pool)
+                totals = np.zeros(len(pool_list), np.float64)
+                for lp in g_logps:
+                    for k in range(lp.shape[1]):
+                        totals += ctc_ops.score_candidates(lp[i, k], pool_list)
+                order = sorted(
+                    range(len(pool_list)),
+                    key=lambda j: (-totals[j], pool_list[j]),
+                )
+                for oi in order:
+                    pfx = pool_list[oi]
                     text = "".join(crnn.CHARSET[c - 1] for c in pfx)
                     if text not in seen:
                         seen.add(text)
@@ -605,6 +611,7 @@ class OCREngine:
                 results = self.read_batch_candidates(
                     [grays[i] for i in idxs], kind, beam=False
                 )
+                esc_thr = self.beam_escalate_conf.get(kind, 1.01)
                 escalate: List[int] = []
                 for i, cands in zip(idxs, results):
                     low = class_names[i].lower()
@@ -612,9 +619,7 @@ class OCREngine:
                         kind, low, cands,
                         self._field_threshold(low, min_confidence),
                     )
-                    if self.beam and (
-                        out[i] is None or conf < self.beam_escalate_conf
-                    ):
+                    if self.beam and (out[i] is None or conf < esc_thr):
                         escalate.append(i)
                 if escalate:
                     results = self.read_batch_candidates(

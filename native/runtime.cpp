@@ -17,7 +17,9 @@
 //
 // Built by runtime/native.py with g++ -O3 -shared; bound via ctypes.
 
+#include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -25,6 +27,7 @@
 #include <mutex>
 #include <new>
 #include <unistd.h>
+#include <vector>
 
 extern "C" {
 
@@ -683,6 +686,147 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
   out_counts[2] = k3;
   out_counts[3] = kr;
   return 1;
+}
+
+// ---------------------------------------------------------------------------
+// CTC host decode kernels (OCR engine's beam refinement, ops/ctc.py).
+//
+// The prefix-beam + ensemble-rescore pass recovers doubled/narrow characters
+// that greedy decode collapses, but its Python implementation costs tens of
+// milliseconds per crop — too slow to run inside the streaming loop. These
+// are the same algorithms as the numpy reference (which remains the
+// fallback and the parity oracle in tests), in tight C++.
+
+static inline double lse2(double a, double b) {
+  if (a == -INFINITY) return b;
+  if (b == -INFINITY) return a;
+  double m = a > b ? a : b;
+  return m + log1p(exp(-fabs(a - b)));
+}
+
+// CTC forward algorithm: log P(ids | logp) summed over alignments.
+// logp: (T, C) row-major float32 log-probs; ids: L non-blank char ids
+// (blank = 0). Returns the total log-probability.
+float ctc_score(const float *logp, int32_t T, int32_t C, const int32_t *ids,
+                int32_t L) {
+  const int32_t E = 2 * L + 1;  // blank-extended label length
+  std::vector<double> alpha((size_t)E, -INFINITY), next((size_t)E);
+  alpha[0] = logp[0];  // blank
+  if (L) alpha[1] = logp[ids[0]];
+  for (int32_t t = 1; t < T; ++t) {
+    const float *lp = logp + (size_t)t * C;
+    for (int32_t e = 0; e < E; ++e) {
+      double tot = alpha[e];
+      if (e >= 1) tot = lse2(tot, alpha[e - 1]);
+      // skip over the separating blank, unless the labels repeat
+      if ((e & 1) && e >= 2 && ids[e / 2] != ids[(e - 2) / 2])
+        tot = lse2(tot, alpha[e - 2]);
+      int32_t sym = (e & 1) ? ids[e / 2] : 0;
+      next[e] = tot + lp[sym];
+    }
+    alpha.swap(next);
+  }
+  double out = alpha[E - 1];
+  if (L) out = lse2(out, alpha[E - 2]);
+  return (float)out;
+}
+
+// Batched ctc_score: candidates packed in ids_flat with lengths lens[i];
+// one call scores all n candidates against one (T, C) posterior.
+void ctc_score_multi(const float *logp, int32_t T, int32_t C,
+                     const int32_t *ids_flat, const int32_t *lens, int32_t n,
+                     float *out) {
+  const int32_t *p = ids_flat;
+  for (int32_t i = 0; i < n; ++i) {
+    out[i] = ctc_score(logp, T, C, p, lens[i]);
+    p += lens[i];
+  }
+}
+
+// CTC prefix beam search over one (T, C) masked log-softmax posterior.
+// Writes up to beam_width prefixes into out_ids (beam_width x max_len,
+// -1-padded), their lengths into out_lens, their log posteriors into
+// out_scores; returns the number of beams emitted. Matches
+// ops/ctc.py::prefix_beam_decode (same pruning rules).
+int32_t ctc_beam(const float *logp, int32_t T, int32_t C, int32_t beam_width,
+                 int32_t topk, float prune_lp, int32_t *out_ids,
+                 int32_t *out_lens, float *out_scores, int32_t max_len) {
+  struct Beam {
+    std::vector<int32_t> pfx;
+    double pb, pnb;  // log mass ending in blank / in last char
+  };
+  std::vector<Beam> beams{{{}, 0.0, -INFINITY}};
+  std::vector<int32_t> ord((size_t)C);
+  std::vector<Beam> next;
+  for (int32_t t = 0; t < T; ++t) {
+    const float *lp = logp + (size_t)t * C;
+    // top-k non-blank candidate chars above the prune threshold
+    int32_t k = topk < C ? topk : C;
+    int32_t kk = (k + 1) < C ? (k + 1) : C;  // +1 in case blank ranks top
+    for (int32_t c = 0; c < C; ++c) ord[c] = c;
+    std::partial_sort(ord.begin(), ord.begin() + kk, ord.end(),
+                      [&](int32_t a, int32_t b) { return lp[a] > lp[b]; });
+    int32_t cand[64], nc = 0;
+    for (int32_t j = 0; j < kk && nc < k && nc < 64; ++j) {
+      int32_t c = ord[j];
+      if (c != 0 && lp[c] > prune_lp) cand[nc++] = c;
+    }
+    const double lpb = lp[0];
+    next.clear();
+    // candidate pool: stay (blank / repeat-frame) + extensions
+    for (const Beam &b : beams) {
+      double total = lse2(b.pb, b.pnb);
+      // stay on the same prefix
+      {
+        double npb = total + lpb;
+        double npnb = b.pfx.empty()
+                          ? -INFINITY
+                          : b.pnb + lp[b.pfx.back()];
+        // merge into an existing identical prefix if present
+        bool merged = false;
+        for (Beam &nb : next)
+          if (nb.pfx == b.pfx) {
+            nb.pb = lse2(nb.pb, npb);
+            nb.pnb = lse2(nb.pnb, npnb);
+            merged = true;
+            break;
+          }
+        if (!merged) next.push_back({b.pfx, npb, npnb});
+      }
+      int32_t last = b.pfx.empty() ? -1 : b.pfx.back();
+      for (int32_t j = 0; j < nc; ++j) {
+        int32_t c = cand[j];
+        double mass = (c == last) ? b.pb + lp[c] : total + lp[c];
+        std::vector<int32_t> npfx = b.pfx;
+        npfx.push_back(c);
+        bool merged = false;
+        for (Beam &nb : next)
+          if (nb.pfx == npfx) {
+            nb.pnb = lse2(nb.pnb, mass);
+            merged = true;
+            break;
+          }
+        if (!merged) next.push_back({std::move(npfx), -INFINITY, mass});
+      }
+    }
+    std::sort(next.begin(), next.end(), [](const Beam &a, const Beam &b) {
+      return lse2(a.pb, a.pnb) > lse2(b.pb, b.pnb);
+    });
+    if ((int32_t)next.size() > beam_width) next.resize((size_t)beam_width);
+    beams.swap(next);
+  }
+  int32_t n = 0;
+  for (const Beam &b : beams) {
+    if (n >= beam_width) break;
+    int32_t L = (int32_t)b.pfx.size();
+    if (L > max_len) continue;
+    for (int32_t i = 0; i < max_len; ++i)
+      out_ids[(size_t)n * max_len + i] = i < L ? b.pfx[i] : -1;
+    out_lens[n] = L;
+    out_scores[n] = (float)lse2(b.pb, b.pnb);
+    ++n;
+  }
+  return n;
 }
 
 }  // extern "C"

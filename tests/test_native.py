@@ -308,3 +308,54 @@ def test_decimate_u8_matches_cv2_inter_linear():
     f = rng.integers(0, 255, (800, 1280, 3), np.uint8)
     assert not native.decimate_u8_into(f, np.zeros((400, 640, 3), np.uint8), 2)
     assert not native.decimate_u8_into(f, np.zeros((267, 427, 3), np.uint8), 3)
+
+
+def test_ctc_score_multi_native_matches_numpy():
+    from manual_yolo_tpu.ops import ctc as ctc_ops
+    from manual_yolo_tpu.runtime.native import ctc_score_multi_native
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(0, 2, (24, 20)).astype(np.float32)
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    cands = [(3, 5), (3, 3), (1,), (7, 7, 2), (), (5, 3, 5, 3)]
+    native = ctc_score_multi_native(logp, cands)
+    if native is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    ref = np.asarray(
+        [ctc_ops.ctc_forward_score(logp, ids) for ids in cands], np.float32
+    )
+    np.testing.assert_allclose(native, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_ctc_beam_native_matches_numpy():
+    """Native prefix beam must produce the same prefixes/scores as the
+    numpy reference implementation (which it replaces on the hot path)."""
+    import inspect
+
+    from manual_yolo_tpu.ops import ctc as ctc_ops
+    from manual_yolo_tpu.runtime.native import ctc_beam_native
+
+    rng = np.random.default_rng(1)
+    for trial in range(6):
+        logits = rng.normal(0, 3, (16, 12)).astype(np.float32)
+        logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        native = ctc_beam_native(logp, beam_width=6)
+        if native is None:
+            import pytest
+
+            pytest.skip("native library unavailable")
+        # call the numpy body directly by disabling the native fast path
+        import manual_yolo_tpu.runtime.native as nat
+
+        orig = nat.ctc_beam_native
+        nat.ctc_beam_native = lambda *a, **k: None
+        try:
+            ref = ctc_ops.prefix_beam_decode(logp, beam_width=6)
+        finally:
+            nat.ctc_beam_native = orig
+        assert [p for p, _ in native] == [p for p, _ in ref], trial
+        np.testing.assert_allclose(
+            [s for _, s in native], [s for _, s in ref], rtol=1e-4, atol=1e-4
+        )
