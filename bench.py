@@ -57,25 +57,164 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
-def make_frames(n: int = 8):
-    """Real table frames at capture size (photometric jitter between them)."""
-    rng = np.random.default_rng(0)
-    base_path = "/root/reference/test2.png"
-    try:
-        import cv2
+# Base frame for the stream: a REAL labeled table screenshot from the
+# reference dataset (natively 1920x1200, 30 labeled fields) — the labels
+# tell the stream generator exactly where the UI repaints content, so the
+# deltas the encoder sees are the ones a live table produces.
+_DATASET = "/root/reference/roadmap1.v3i.yolov8"
+_BASE_STEM = "Screenshot-2025-08-01-131847_png.rf.9e851a1568cc51ea0067837df3bc0ddb"
+_RANK_CROPS = "/root/reference/rank_classifier/train"
 
-        img = cv2.imread(base_path)
+
+def _load_base():
+    """(base BGR frame at SRC_HW, {class_name: (x1, y1, x2, y2)})."""
+    import cv2
+
+    from manual_yolo_tpu.game import taxonomy
+
+    img = cv2.imread(f"{_DATASET}/train/images/{_BASE_STEM}.jpg")
+    rects = {}
+    if img is not None:
+        h, w = img.shape[:2]
+        for ln in open(f"{_DATASET}/train/labels/{_BASE_STEM}.txt"):
+            p = ln.split()
+            if len(p) < 5:
+                continue
+            cid = int(p[0])
+            xc, yc, bw, bh = (float(v) for v in p[1:5])
+            rects[taxonomy.CLASSES[cid]] = (
+                int((xc - bw / 2) * w), int((yc - bh / 2) * h),
+                int((xc + bw / 2) * w), int((yc + bh / 2) * h),
+            )
+    else:  # fallbacks keep the bench runnable without the reference mount
+        img = cv2.imread("/root/reference/test2.png")
         if img is None:
-            raise FileNotFoundError(base_path)
-        base = cv2.resize(img, (SRC_HW[1], SRC_HW[0]), interpolation=cv2.INTER_LINEAR)
-    except Exception:
-        base = rng.integers(0, 255, SRC_HW + (3,), np.uint8).astype(np.uint8)
-    frames = []
-    for _ in range(n):
-        jitter = rng.integers(-6, 7, (1, 1, 3), np.int16)
-        frames.append(
-            np.clip(base.astype(np.int16) + jitter, 0, 255).astype(np.uint8)
+            return (
+                np.random.default_rng(0)
+                .integers(0, 255, SRC_HW + (3,), np.uint8)
+                .astype(np.uint8),
+                rects,
+            )
+    if img.shape[:2] != SRC_HW:
+        img = cv2.resize(img, (SRC_HW[1], SRC_HW[0]),
+                         interpolation=cv2.INTER_LINEAR)
+    return img, rects
+
+
+def _text_repaint(img, rect, text, rng, color=(235, 235, 235)):
+    """Redraw a text field in place: background refill + rendered string
+    (what the table UI does when a counter/name changes)."""
+    import cv2
+
+    x1, y1, x2, y2 = rect
+    patch = img[y1:y2, x1:x2]
+    if patch.size == 0:
+        return
+    bg = np.percentile(patch.reshape(-1, 3), 25, axis=0).astype(np.uint8)
+    patch[:] = bg
+    h = y2 - y1
+    scale = max(0.4, (h - 6) / 22.0)
+    cv2.putText(patch, text, (2, h - max(3, h // 4)),
+                cv2.FONT_HERSHEY_SIMPLEX, scale, color, 1, cv2.LINE_AA)
+
+
+_rank_crop_cache: list = []
+
+
+def _rank_sources(rng):
+    """Random real rank-glyph crops from the reference rank dataset."""
+    import glob
+    import os
+
+    import cv2
+
+    if not _rank_crop_cache:
+        for d in sorted(glob.glob(os.path.join(_RANK_CROPS, "*"))):
+            files = sorted(glob.glob(os.path.join(d, "*")))[:4]
+            for f in files:
+                c = cv2.imread(f)
+                if c is not None:
+                    _rank_crop_cache.append(c)
+    if not _rank_crop_cache:
+        _rank_crop_cache.append(
+            np.full((48, 32, 3), 240, np.uint8)
         )
+    return _rank_crop_cache[int(rng.integers(len(_rank_crop_cache)))]
+
+
+def make_frames(n: int = 32, seed: int = 0):
+    """A stream of n frames with the content dynamics of a live table:
+
+      * GLOBAL photometric jitter every frame (capture/backlight noise,
+        non-cumulative) — the delta the per-segment encoder absorbs as
+        const/2-bit segments;
+      * LOCALIZED content repaints at labeled field rects, persisting
+        frame to frame: pot/stack/bet counter redraws, villain name
+        changes, card deals (real rank-glyph crops pasted from the
+        reference rank dataset), badge flips — these produce raw segments
+        no 0-byte delta class can absorb, and drive the changed-field OCR;
+      * a moving sprite (chip animation) for continuous small motion.
+
+    Frame t+1 = content(t+1) + jitter(t+1); repaints mutate content.
+    Stats (repaint counts by kind) are left on ``make_frames.stats``.
+    """
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    content, rects = _load_base()
+    content = content.copy()
+    numeric = [r for name, r in rects.items()
+               if name.endswith(("_stack", "_bet"))
+               or name in ("total_pot", "my_stack", "my_bet")]
+    names = [r for name, r in rects.items() if name.endswith("_name")]
+    cards = [r for name, r in rects.items() if name.endswith("_rank")]
+    badges = [r for name, r in rects.items() if name.startswith("position_")]
+    stats = {"numeric": 0, "name": 0, "card": 0, "badge": 0, "frames": n}
+    cx, cy = SRC_HW[1] // 2, int(SRC_HW[0] * 0.55)
+
+    syll = ["mo", "ney", "ball", "snow", "sport", "ga", "me", "fire",
+            "ru", "ata", "kaa", "hyap"]
+    frames = []
+    for t in range(n):
+        # localized repaints (persist in `content`)
+        k = int(rng.integers(1, 4)) if rng.random() < 0.7 else 0
+        for _ in range(k):
+            kind = rng.choice(["numeric", "numeric", "name", "card", "badge"])
+            if kind == "numeric" and numeric:
+                r = numeric[int(rng.integers(len(numeric)))]
+                val = rng.integers(1, 9999) / 10
+                _text_repaint(content, r, f"{val:.1f}K", rng)
+                stats["numeric"] += 1
+            elif kind == "name" and names:
+                r = names[int(rng.integers(len(names)))]
+                nm = "".join(rng.choice(syll, size=3)) + str(rng.integers(99))
+                _text_repaint(content, r, nm, rng, color=(210, 220, 225))
+                stats["name"] += 1
+            elif kind == "card" and cards:
+                x1, y1, x2, y2 = cards[int(rng.integers(len(cards)))]
+                src = _rank_sources(rng)
+                content[y1:y2, x1:x2] = cv2.resize(
+                    src, (x2 - x1, y2 - y1), interpolation=cv2.INTER_LINEAR
+                )
+                stats["card"] += 1
+            elif kind == "badge" and badges:
+                x1, y1, x2, y2 = badges[int(rng.integers(len(badges)))]
+                patch = content[y1:y2, x1:x2]
+                content[y1:y2, x1:x2] = np.clip(
+                    patch.astype(np.int16) + int(rng.integers(-60, 61)),
+                    0, 255,
+                ).astype(np.uint8)
+                stats["badge"] += 1
+        # emitted frame: content + global jitter + chip sprite
+        jitter = rng.integers(-6, 7, (1, 1, 3), np.int16)
+        f = np.clip(content.astype(np.int16) + jitter, 0, 255).astype(np.uint8)
+        ang = 2 * np.pi * t / n
+        px = int(cx + 260 * np.cos(ang))
+        py = int(cy + 120 * np.sin(ang))
+        cv2.circle(f, (px, py), 9, (40, 40, 200), -1, cv2.LINE_AA)
+        cv2.circle(f, (px, py), 9, (230, 230, 230), 1, cv2.LINE_AA)
+        frames.append(f)
+    make_frames.stats = stats
     return frames
 
 
@@ -114,40 +253,70 @@ def batch_at(frames, t):
 
 
 def warmup_stream(stream, frames, deadline: float | None = None,
-                  warm_batches: int = WARM_BATCHES) -> int:
+                  warm_batches: int = WARM_BATCHES, field_ocr=None) -> int:
     """Compile the delta-mode programs: raw (first batch), skip (repeat),
     then the per-segment mode across several stream deltas so every
     payload-size bucket the stream will hit is compiled before measurement
-    starts. ``deadline`` (absolute perf_counter value) bounds the exposure:
-    past it the remaining programs compile lazily inside pass 1 — a slower
-    first pass but a pass that HAPPENS, instead of a watchdog kill."""
+    starts — plus, with ``field_ocr``, the recognizer's bucketed programs
+    (the warmup batches also fill the changed-field cache, so measurement
+    starts in the memoised steady state, not the cold-read flood).
+    ``deadline`` (absolute perf_counter value) bounds the exposure: past it
+    the remaining programs compile lazily inside pass 1 — a slower first
+    pass but a pass that HAPPENS, instead of a watchdog kill."""
+    import collections
+
+    pend = collections.deque()
     warmed = 0
-    for t in (0, 0, 1, 2, 3, 4, 5, 6, 7, 8)[: max(warm_batches, 3)]:
-        stream.submit_batch(batch_at(frames, t))
+    for t in (0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)[: max(warm_batches, 3)]:
+        bf = batch_at(frames, t)
+        stream.submit_batch(bf)
+        pend.append(bf)
         warmed += 1
         if stream.in_flight > IN_FLIGHT:
-            stream.collect_batch()
+            res = stream.collect_batch()
+            if field_ocr is not None:
+                field_ocr.process(pend.popleft(), res)
+            else:
+                pend.popleft()
         if deadline is not None and time.perf_counter() > deadline:
             break
     while stream.in_flight:
-        stream.collect_batch()
+        res = stream.collect_batch()
+        if field_ocr is not None and pend:
+            field_ocr.process(pend.popleft(), res)
     return warmed
 
 
 def measure_stream(stream, frames, meas_batches=MEAS_BATCHES,
-                   resync: int = 0) -> float:
+                   resync: int = 0, field_ocr=None) -> float:
     """End-to-end fps through the batched stream (captures link + host +
     device). The stream EVOLVES batch to batch — slot i of batch t holds
     frame (t+i) mod n, so consecutive batches differ by one step of the
-    jittered stream and the delta encoder sees real work every submit
-    (never the all-zero easy case a repeated batch would give it).
+    content stream (localized repaints + photometric jitter) and the delta
+    encoder sees real work every submit. With ``field_ocr`` every collected
+    batch additionally runs changed-field CRNN reads (FieldOCRMemo), so the
+    measured pipeline covers detect + NMS + rank classify + field OCR —
+    the full reference per-frame stack (detect.py:580-600).
 
     Callers must run :func:`warmup_stream` first; ``resync`` adds a couple
     of untimed batches to re-enter steady state between passes."""
+    import collections
+
+    pend = collections.deque()
+
+    def _finish(res):
+        if field_ocr is not None and pend:
+            field_ocr.process(pend.popleft(), res)
+        elif pend:
+            pend.popleft()
+        return len(res)
+
     for t in range(resync):
-        stream.submit_batch(batch_at(frames, t))
+        bf = batch_at(frames, t)
+        stream.submit_batch(bf)
+        pend.append(bf)
     while stream.in_flight:
-        stream.collect_batch()
+        _finish(stream.collect_batch())
 
     done = 0
     lats: list = []
@@ -155,18 +324,35 @@ def measure_stream(stream, frames, meas_batches=MEAS_BATCHES,
     t0 = time.perf_counter()
     for t in range(meas_batches):
         sub_ts.append(time.perf_counter())
-        stream.submit_batch(batch_at(frames, t))
+        bf = batch_at(frames, t)
+        stream.submit_batch(bf)
+        pend.append(bf)
         if stream.in_flight > IN_FLIGHT:
-            done += len(stream.collect_batch())
+            done += _finish(stream.collect_batch())
             lats.append(time.perf_counter() - sub_ts[len(lats)])
     while stream.in_flight:
-        done += len(stream.collect_batch())
+        done += _finish(stream.collect_batch())
         lats.append(time.perf_counter() - sub_ts[len(lats)])
     fps = done / (time.perf_counter() - t0)
     measure_stream.last_latency_ms = (
         round(1e3 * float(np.median(lats)), 1) if lats else None
     )
     return fps
+
+
+def build_field_ocr():
+    """Changed-field CRNN reader for the measured loop (None when the OCR
+    weights are absent — the JSON then says field_ocr: false)."""
+    from manual_yolo_tpu.runtime.fieldocr import FieldOCRMemo
+    from manual_yolo_tpu.runtime.ocr import default_ocr_engine
+
+    eng = default_ocr_engine()
+    if eng is None:
+        return None
+    # bound the compiled-program set: every recognizer call pads to one of
+    # a handful of buckets (32..128) so warmup covers what measurement hits
+    eng.MIN_BUCKET = 32
+    return FieldOCRMemo(eng)
 
 
 def measure_static_stream(stream, frames, meas_batches=MEAS_BATCHES) -> float:
@@ -241,6 +427,7 @@ def run_measurement():
     _enable_compile_cache()
     stream = build_stream()
     frames = make_frames()
+    field_ocr = build_field_ocr()
 
     record = {
         "metric": "full_pipeline_fps_per_chip_1920x1200",
@@ -248,6 +435,8 @@ def run_measurement():
         "unit": "frames/s",
         "vs_baseline": None,
         "batch": BATCH,
+        "stream_repaints": getattr(make_frames, "stats", None),
+        "field_ocr": field_ocr is not None,
     }
 
     def emit(fps, **extra):
@@ -260,7 +449,8 @@ def run_measurement():
         return time.perf_counter() - t_start
 
     warmed = warmup_stream(stream, frames,
-                           deadline=t_start + WARMUP_DEADLINE)
+                           deadline=t_start + WARMUP_DEADLINE,
+                           field_ocr=field_ocr)
     print(f"[bench] warmup {warmed} batches in {elapsed():.0f}s",
           file=sys.stderr, flush=True)
 
@@ -270,7 +460,8 @@ def run_measurement():
     passes = []
     lat_ms = None
     for i in range(3):
-        f = measure_stream(stream, frames, resync=2 if i else 0)
+        f = measure_stream(stream, frames, resync=2 if i else 0,
+                           field_ocr=field_ocr)
         passes.append(f)
         if f == max(passes):  # latency of the best pass (least stall noise)
             lat_ms = measure_stream.last_latency_ms
@@ -280,6 +471,7 @@ def run_measurement():
             batch_latency_ms_p50=lat_ms,
             delta_modes=dict(stream.mode_counts),
             crop_modes=dict(stream.crop_mode_counts),
+            ocr=field_ocr.stats() if field_ocr is not None else None,
         )
         if elapsed() > SOFT_DEADLINE:
             print(f"[bench] soft deadline after pass {i + 1}",
