@@ -82,10 +82,16 @@ def channel_shardings(mesh: Mesh, tree, model_axis: str = "model"):
     ShapeDtypeStructs, so it can shard real state and ``jax.eval_shape``
     results alike."""
     n = int(mesh.shape[model_axis])
+    # only dims that look like real channel axes shard: at least 16 wide
+    # (the narrowest conv width in any spec) — otherwise a small
+    # non-channel trailing dim (a (B, M, 5) target leaf, a head constant)
+    # that happens to divide a larger model axis would get sharded, which
+    # is correct under GSPMD but produces surprising layouts/collectives
+    MIN_CHANNEL = 16
 
     def leaf(x):
         shape = tuple(getattr(x, "shape", ()) or ())
-        if shape and shape[-1] % n == 0 and shape[-1] >= n:
+        if shape and shape[-1] % n == 0 and shape[-1] >= MIN_CHANNEL:
             return NamedSharding(
                 mesh, P(*([None] * (len(shape) - 1) + [model_axis]))
             )
@@ -115,10 +121,28 @@ def make_tp_train_step(
     all (SURVEY.md §2c) — this is the TPU-native scaling path.
 
     Returns ``(step, place)``: ``place(params, ema, opt_state, x, t, m)``
-    device_puts each piece with its sharding; ``step`` is the jitted step
-    (shardings inherited from the committed inputs, outputs keep the
-    layout so steps chain without resharding)."""
+    device_puts each piece with its sharding; ``step`` is jitted with
+    EXPLICIT in/out shardings (built from ``channel_shardings`` over the
+    first call's shapes), so a caller that skips ``place`` — or passes
+    fresh uncommitted arrays after a checkpoint restore — still runs the
+    sharded program with outputs in the same layout, and steps chain
+    without GSPMD resharding."""
     bsh = NamedSharding(mesh, P(data_axis))
+    repl = NamedSharding(mesh, P())
+    body = _make_step_body(spec, tx, compute_dtype)
+    cache: dict = {}
+
+    def step(params, ema_params, opt_state, it, x, t, m):
+        if "fn" not in cache:
+            psh = channel_shardings(mesh, params, model_axis)
+            esh = channel_shardings(mesh, ema_params, model_axis)
+            osh = channel_shardings(mesh, opt_state, model_axis)
+            cache["fn"] = jax.jit(
+                body,
+                in_shardings=(psh, esh, osh, repl, bsh, bsh, bsh),
+                out_shardings=(psh, esh, osh, repl, repl),
+            )
+        return cache["fn"](params, ema_params, opt_state, it, x, t, m)
 
     def place(params, ema_params, opt_state, x, t, m):
         psh = channel_shardings(mesh, params, model_axis)
@@ -132,4 +156,4 @@ def make_tp_train_step(
             put(m, bsh),
         )
 
-    return jax.jit(_make_step_body(spec, tx, compute_dtype)), place
+    return step, place

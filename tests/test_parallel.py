@@ -153,7 +153,7 @@ def test_tp_train_step_matches_dp(eight_devices):
     dp = make_dp_train_step(spec, tx, mesh1, compute_dtype=jnp.float32)
     repl = NamedSharding(mesh1, P())
     bsh = NamedSharding(mesh1, P("data"))
-    _, _, _, loss_dp, _ = dp(
+    p1, e1, o1, loss_dp, _ = dp(
         jax.device_put(params, repl),
         jax.device_put(ema, repl),
         jax.device_put(opt_state, repl),
@@ -172,6 +172,55 @@ def test_tp_train_step_matches_dp(eight_devices):
     jax.block_until_ready(loss_tp)
     assert np.isfinite(float(loss_tp))
     assert abs(float(loss_tp) - float(loss_dp)) < 1e-2
+
+    # the UPDATED state must match too — the loss alone is computed at the
+    # pre-update (identical) params and would not catch a sharding bug in
+    # the backward pass, the optax update, or the EMA decay. The comparison
+    # runs under SGD, where the update is PROPORTIONAL to the gradient:
+    # adamw's step-1 update is ~lr*sign(g), so psum-reduction-order noise
+    # on near-zero grads flips signs and produces benign 2*lr diffs that
+    # would mask (or false-alarm on) real bugs.
+    tx_sgd = optax.sgd(1e-2)
+    opt_sgd = tx_sgd.init(params)
+    dp_sgd = make_dp_train_step(spec, tx_sgd, mesh1, compute_dtype=jnp.float32)
+    p1s, e1s, _, _, _ = dp_sgd(
+        jax.device_put(params, repl),
+        jax.device_put(ema, repl),
+        jax.device_put(opt_sgd, repl),
+        jnp.asarray(0, jnp.int32),
+        jax.device_put(x, bsh),
+        jax.device_put(t, bsh),
+        jax.device_put(m, bsh),
+    )
+    tp_sgd, place_sgd = make_tp_train_step(
+        spec, tx_sgd, mesh2, compute_dtype=jnp.float32
+    )
+    sp, se, so, sx, stt, sm = place_sgd(params, ema, opt_sgd, x, t, m)
+    p2s, e2s, _, _, _ = tp_sgd(sp, se, so, jnp.asarray(0, jnp.int32),
+                               sx, stt, sm)
+    for name, tp_tree, dp_tree in (("params", p2s, p1s), ("ema", e2s, e1s)):
+        tl = jax.tree_util.tree_leaves(tp_tree)
+        dl = jax.tree_util.tree_leaves(dp_tree)
+        assert len(tl) == len(dl)
+        worst = 0.0
+        for a, b in zip(tl, dl):
+            a = np.asarray(jax.device_get(a), np.float32)
+            b = np.asarray(jax.device_get(b), np.float32)
+            worst = max(worst, float(np.max(np.abs(a - b))))
+        assert worst < 1e-5, f"{name} diverged after one step: max|d|={worst}"
+
+    # and a SECOND adamw step from each updated state must agree as well
+    # (this exercises the updated optimizer state end-to-end)
+    _, _, _, loss_dp2, _ = dp(
+        p1, e1, o1, jnp.asarray(1, jnp.int32),
+        jax.device_put(x, bsh), jax.device_put(t, bsh), jax.device_put(m, bsh),
+    )
+    _, _, _, loss_tp2, _ = tp(
+        p2, e2, o2, jnp.asarray(1, jnp.int32), x_s, t_s, m_s
+    )
+    assert abs(float(loss_tp2) - float(loss_dp2)) < 1e-2, (
+        float(loss_tp2), float(loss_dp2),
+    )
 
     # stem conv kernel (3,3,3,16): out-channel dim stays sharded over 'model'
     want = channel_shardings(mesh2, params, "model")
