@@ -19,6 +19,11 @@ def main(argv=None) -> int:
                     help="data/ocr_real/labels.json to composite real crops")
     ap.add_argument("--real-splits", default="train,valid")
     ap.add_argument("--real-scene-frac", type=float, default=0.5)
+    ap.add_argument("--panel-scene-frac", type=float, default=0.0,
+                    help="fraction of scenes tiled with whole labeled "
+                         "panels from the dataset train/valid splits")
+    ap.add_argument("--init-from", default="",
+                    help="warm-start weights (npz) instead of random init")
     args = ap.parse_args(argv)
 
     from manual_yolo_tpu.train.craft import CraftTrainConfig, train_craft
@@ -29,6 +34,8 @@ def main(argv=None) -> int:
         real_labels=args.real_labels,
         real_splits=tuple(args.real_splits.split(",")),
         real_scene_frac=args.real_scene_frac,
+        panel_scene_frac=args.panel_scene_frac,
+        init_from=args.init_from,
     )
     res = train_craft(cfg)
     print(json.dumps(res, indent=2))

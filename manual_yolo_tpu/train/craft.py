@@ -120,6 +120,14 @@ class CraftTrainConfig:
     real_labels: str = ""
     real_splits: Tuple[str, ...] = ("train", "valid")
     real_scene_frac: float = 0.5
+    # fraction of scenes tiled with whole labeled PANELS cut from real
+    # table screenshots (train/valid splits), the eval distribution of
+    # cli/eval_craft; requires the reference dataset mount
+    panel_scene_frac: float = 0.0
+    panel_splits: Tuple[str, ...] = ("train", "valid")
+    # fine-tune from an existing checkpoint instead of random init (e.g.
+    # warm-start the real-crop run from the synthetic-scene weights)
+    init_from: str = ""
 
 
 def _paste_crop_heat(heat, x0, y0, w, h, n_chars):
@@ -202,12 +210,88 @@ def render_scene_real(rng, real_pool, size: int = 256):
     return img.astype(np.float32), heat, boxes
 
 
-def build_pool(rng, cfg: CraftTrainConfig, real_pool=None):
+def build_panel_pool(splits=("train", "valid")) -> List:
+    """Whole labeled PANELS cut from real table screenshots: the region
+    (with its real felt/UI background) plus its text-line boxes, exactly
+    the regions ``read_region`` sees at runtime and ``cli/eval_craft``
+    scores (different splits — eval uses 'test'). Line char counts are
+    estimated from aspect ratio (line-level supervision only needs rough
+    spacing)."""
+    import cv2
+
+    from manual_yolo_tpu.cli.eval_craft import build_regions, load_labeled_images
+
+    pool = []
+    for img_path, fields in load_labeled_images(splits):
+        img = cv2.imread(img_path)
+        if img is None:
+            continue
+        h, w = img.shape[:2]
+        for (rx1, ry1, rx2, ry2), lines in build_regions(fields, w, h):
+            crop = img[ry1:ry2, rx1:rx2]
+            if crop.size == 0 or crop.shape[0] < 14 or crop.shape[1] < 14:
+                continue
+            rel = [(x1 - rx1, y1 - ry1, x2 - rx1, y2 - ry1)
+                   for x1, y1, x2, y2 in lines]
+            pool.append((crop, rel))
+    return pool
+
+
+def render_scene_panel(rng, panel_pool, size: int = 256):
+    """Scene tiled with real labeled panels (their own background margin
+    included) at jittered scale/brightness — the eval distribution."""
+    import cv2
+
+    bg = rng.uniform(0.05, 0.4)
+    img = np.full((size, size, 3), bg, np.float32)
+    img += rng.normal(0, 0.02, img.shape).astype(np.float32)
+    hh = size // 2
+    heat = np.zeros((hh, hh, 2), np.float32)
+    boxes = []
+    used_rows = []
+    for _ in range(int(rng.integers(1, 4))):
+        crop, rel = panel_pool[int(rng.integers(0, len(panel_pool)))]
+        ch, cw = crop.shape[:2]
+        scale = rng.uniform(0.75, 1.5)
+        nh = int(np.clip(ch * scale, 14, size - 8))
+        nw = int(np.clip(cw * scale, 14, size - 8))
+        sy, sx = nh / ch, nw / cw
+        patch = cv2.resize(crop, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        x0 = int(rng.integers(2, max(3, size - nw - 2)))
+        y0 = int(rng.integers(2, max(3, size - nh - 2)))
+        if any(not (y0 + nh < r0 - 2 or y0 > r1 + 2) for r0, r1 in used_rows):
+            continue
+        used_rows.append((y0, y0 + nh))
+        gain = rng.uniform(0.85, 1.1)
+        img[y0:y0 + nh, x0:x0 + nw] = np.clip(
+            patch[..., ::-1].astype(np.float32) / 255.0 * gain, 0, 1
+        )
+        for lx1, ly1, lx2, ly2 in rel:
+            bx1 = x0 + lx1 * sx
+            by1 = y0 + ly1 * sy
+            bx2 = x0 + lx2 * sx
+            by2 = y0 + ly2 * sy
+            bw, bh = bx2 - bx1, by2 - by1
+            if bw < 4 or bh < 4:
+                continue
+            n_chars = int(np.clip(round(bw / max(bh * 0.6, 1)), 1, 24))
+            _paste_crop_heat(heat, bx1, by1, bw, bh, n_chars)
+            boxes.append((int(bx1), int(by1), int(bx2), int(by2)))
+    img = np.clip(img + rng.uniform(-0.04, 0.04), 0, 1)
+    return img.astype(np.float32), heat, boxes
+
+
+def build_pool(rng, cfg: CraftTrainConfig, real_pool=None, panel_pool=None):
     imgs = np.zeros((cfg.pool_size, cfg.size, cfg.size, 3), np.float32)
     heats = np.zeros((cfg.pool_size, cfg.size // 2, cfg.size // 2, 2), np.float32)
     metas = []
     for i in range(cfg.pool_size):
-        if real_pool and rng.random() < cfg.real_scene_frac:
+        r = rng.random()
+        if panel_pool and r < cfg.panel_scene_frac:
+            imgs[i], heats[i], boxes = render_scene_panel(
+                rng, panel_pool, cfg.size
+            )
+        elif real_pool and r < cfg.panel_scene_frac + cfg.real_scene_frac:
             imgs[i], heats[i], boxes = render_scene_real(rng, real_pool, cfg.size)
         else:
             imgs[i], heats[i], boxes = render_scene(rng, cfg.size)
@@ -249,7 +333,11 @@ def _line_f1(pred_boxes, gt_boxes, iou_thr=0.3) -> float:
 def train_craft(cfg: CraftTrainConfig, log=print) -> Dict[str, float]:
     rng = np.random.default_rng(cfg.seed)
     cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    params = craft.init_params(jax.random.PRNGKey(cfg.seed))
+    if cfg.init_from and os.path.exists(cfg.init_from):
+        params = craft.load_npz(cfg.init_from)
+        log(f"warm-start from {cfg.init_from}")
+    else:
+        params = craft.init_params(jax.random.PRNGKey(cfg.seed))
     sched = optax.warmup_cosine_decay_schedule(
         cfg.lr * 0.05, cfg.lr, min(200, cfg.steps // 5), cfg.steps, cfg.lr * 0.05
     )
@@ -268,8 +356,16 @@ def train_craft(cfg: CraftTrainConfig, log=print) -> Dict[str, float]:
             )
         ]
         log(f"real crop pool: {len(real_pool)} crops from {cfg.real_splits}")
+    panel_pool = None
+    if cfg.panel_scene_frac > 0:
+        try:
+            panel_pool = build_panel_pool(cfg.panel_splits)
+            log(f"panel pool: {len(panel_pool)} labeled panels "
+                f"from {cfg.panel_splits}")
+        except Exception as e:
+            log(f"panel pool unavailable ({e}); skipping panel scenes")
     log(f"rendering {cfg.pool_size}-scene pool...")
-    imgs, heats, metas = build_pool(rng, cfg, real_pool)
+    imgs, heats, metas = build_pool(rng, cfg, real_pool, panel_pool)
     log(f"pool ready in {time.time()-t0:.0f}s")
 
     # resident device pools (uint8, uploaded once as flat bytes): per-step
