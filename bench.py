@@ -28,6 +28,7 @@ import numpy as np
 
 BASELINE_FPS = 200.0
 SRC_HW = (1200, 1920)
+PEAK_TFLOPS = 197.0  # TPU v5e bf16 peak, for the MFU companion metric
 # Batch size trades per-frame latency for throughput: the tunnel charges a
 # fixed ~60 ms stall per crossing, and the steady state is ONE put + ONE
 # fetch per batch, so bigger batches amortize the stalls over more frames.
@@ -376,12 +377,16 @@ def measure_static_stream(stream, frames, meas_batches=MEAS_BATCHES) -> float:
     return done / (time.perf_counter() - t0)
 
 
-def measure_compute_only(stream) -> float:
+def measure_compute_only(stream) -> dict:
     """Device program throughput with the canvas batch ALREADY resident:
-    the framework's own ceiling with the link taken out of the picture
-    (detect+NMS+pack per batch; classify excluded — it is ~0.3 ms/frame
-    and crop-dependent)."""
+    the framework's own ceiling with the link taken out of the picture.
+    Times detect+NMS+pack AND the rank-classify program (on the resident
+    crop plane), reports the combined per-frame ceiling plus achieved
+    TFLOP/s and MFU from the analytic conv FLOPs (flops_per_image,
+    validated against XLA cost_analysis)."""
     import jax
+
+    from manual_yolo_tpu.models import yolov8
 
     # the skip program IS "detect the resident canvas" — already compiled
     # by the warmup, and _dev_prev holds real table content at this point
@@ -392,7 +397,28 @@ def measure_compute_only(stream) -> float:
     for _ in range(reps):
         out = stream._detect_skip(stream.det_params, stream._dev_prev)
     jax.block_until_ready(out)
-    return BATCH * reps / (time.perf_counter() - t0)
+    det_s = (time.perf_counter() - t0) / (BATCH * reps)
+
+    # classify: the full (batch * max_rank) crop plane, as the fused
+    # steady state runs it
+    cout = stream._classify(stream.cls_params, stream._dev_pred_crops)
+    jax.block_until_ready(cout)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        cout = stream._classify(stream.cls_params, stream._dev_pred_crops)
+    jax.block_until_ready(cout)
+    cls_s = (time.perf_counter() - t0) / (BATCH * reps)
+
+    det_fl = yolov8.flops_per_image(stream.det_spec, stream.imgsz)
+    per_frame = det_s + cls_s
+    return {
+        "compute_only_fps": round(1 / per_frame, 2),
+        "compute_detect_fps": round(1 / det_s, 2),
+        "compute_classify_fps": round(1 / cls_s, 2),
+        "detect_gflops_per_frame": round(det_fl / 1e9, 2),
+        "achieved_tflops": round(det_fl / det_s / 1e12, 2),
+        "mfu_vs_v5e_bf16_peak": round(det_fl / det_s / PEAK_TFLOPS / 1e12, 4),
+    }
 
 
 def probe_link(frames) -> dict:
@@ -481,7 +507,7 @@ def run_measurement():
 
     # companions, cheapest-first, each guarded by the soft deadline
     if elapsed() <= SOFT_DEADLINE:
-        emit(fps, compute_only_fps=round(measure_compute_only(stream), 2))
+        emit(fps, **measure_compute_only(stream))
     if elapsed() <= SOFT_DEADLINE:
         emit(fps, **probe_link(frames))
     if elapsed() <= SOFT_DEADLINE:

@@ -588,6 +588,65 @@ def forward_detect_raw(
     return out
 
 
+def flops_per_image(spec: ModelSpec, imgsz: int) -> int:
+    """Analytic matmul/conv FLOPs (2*MACs) of one forward at ``imgsz``.
+
+    Counts every conv and the classify linear; elementwise/pool/BN/SiLU are
+    omitted (they are bandwidth-, not FLOP-bound). Padding-excluded like
+    XLA's cost model (taps falling on zero padding are not MACs — at tiny
+    spatial sizes that is a real fraction). Validated against XLA's own
+    ``cost_analysis`` in tests/test_detector.py. Used by bench.py to report
+    achieved TFLOP/s and MFU against the chip peak."""
+
+    def taps(h: int, k: int, s: int) -> int:
+        # sum over 'same'-padded output positions of in-bounds kernel taps
+        # along one dimension (separable: total taps = taps_h * taps_w)
+        p = k // 2
+        return sum(
+            min(o * s - p + k, h) - max(o * s - p, 0) for o in range(h // s)
+        )
+
+    def conv(h, w, cin, cout, k, s):
+        return 2 * cin * cout * taps(h, k, s) * taps(w, k, s)
+
+    total = 0
+    sizes: List[Tuple[int, int]] = []  # per-layer output (h, w)
+    h = w = imgsz
+    for li, layer in enumerate(spec.layers):
+        if layer.kind == "conv":
+            total += conv(h, w, layer.cin, layer.cout, layer.k, layer.s)
+            h, w = h // layer.s, w // layer.s
+        elif layer.kind == "c2f":
+            c = layer.cout // 2
+            total += conv(h, w, layer.cin, 2 * c, 1, 1)
+            total += layer.n * 2 * conv(h, w, c, c, 3, 1)
+            total += conv(h, w, (2 + layer.n) * c, layer.cout, 1, 1)
+        elif layer.kind == "sppf":
+            c_ = layer.cin // 2
+            total += conv(h, w, layer.cin, c_, 1, 1)
+            total += conv(h, w, 4 * c_, layer.cout, 1, 1)
+        elif layer.kind == "upsample":
+            h, w = h * 2, w * 2
+        elif layer.kind == "concat":
+            # restore the lateral source's spatial size (FPN/PAN joins are
+            # always at the lateral's resolution in this graph)
+            h, w = sizes[layer.src[1]]
+        elif layer.kind == "classify":
+            total += conv(h, w, layer.cin, 1280, 1, 1)
+            total += 2 * 1280 * layer.cout
+        elif layer.kind == "detect":
+            c2 = max(16, spec.out_channels[0] // 4, REG_MAX * 4)
+            c3 = max(spec.out_channels[0], min(spec.nc, 100))
+            for src, cin, s in zip(layer.src, spec.out_channels, spec.strides):
+                hh, ww = sizes[src]
+                total += conv(hh, ww, cin, c2, 3, 1) + conv(hh, ww, c2, c2, 3, 1)
+                total += conv(hh, ww, c2, 4 * REG_MAX, 1, 1)
+                total += conv(hh, ww, cin, c3, 3, 1) + conv(hh, ww, c3, c3, 3, 1)
+                total += conv(hh, ww, c3, spec.nc, 1, 1)
+        sizes.append((h, w))
+    return int(total)
+
+
 def dfl_decode(box_dist: jnp.ndarray) -> jnp.ndarray:
     """Distribution Focal Loss decode: (..., 4*REG_MAX) -> (..., 4) expected offsets."""
     shape = box_dist.shape[:-1]

@@ -76,6 +76,8 @@ class StreamingEngine:
         self._rank_ids = {i for i, n in names.items() if n in taxonomy.RANK_CLASSES}
         self.det_params = det_params
         self.cls_params = cls_params
+        self.det_spec = det_spec
+        self.cls_spec = cls_spec
         # canvas pool: device_put may read the host buffer after submit
         # returns, so rotate more buffers than frames in flight
         self._canvases = [
@@ -520,6 +522,8 @@ class BatchStream:
         self._rank_ids = {i for i, n in names.items() if n in taxonomy.RANK_CLASSES}
         self.det_params = det_params
         self.cls_params = cls_params
+        self.det_spec = det_spec
+        self.cls_spec = cls_spec
         # staging pool: batch N+1 fills while N uploads on the dispatcher
         # thread and N-1/N-2 wait in its queue (bounded at 2) — 4 buffers
         # cover fill + upload + 2 queued

@@ -73,3 +73,31 @@ def test_engine_detect_to_list(small_engine):
     for d in out:
         assert set(d) == {"x1", "y1", "x2", "y2", "conf", "class_id", "class_name"}
         assert 0 <= d["x1"] <= d["x2"] <= 400
+
+
+def test_flops_per_image_matches_xla_cost_analysis():
+    """The analytic FLOPs counter (bench MFU reporting) must agree with
+    XLA's own cost model for the compiled forward — conv FLOPs dominate,
+    so the two should match within ~10%."""
+    import jax.numpy as jnp
+
+    from manual_yolo_tpu.models import yolov8
+
+    for variant, imgsz, nc in (("detect", 160, 64), ("classify", 64, 13)):
+        spec = yolov8.build_spec(variant, "n", nc=nc)
+        params = yolov8.fold_params(
+            yolov8.init_params(jax.random.PRNGKey(0), spec), spec
+        )
+        fwd = (
+            yolov8.forward_detect_raw
+            if variant == "detect"
+            else yolov8.forward_classify
+        )
+        fn = jax.jit(lambda p, x: fwd(p, spec, x, jnp.float32))
+        lowered = fn.lower(params, jnp.zeros((1, imgsz, imgsz, 3), jnp.float32))
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        xla_flops = float(cost["flops"])
+        ours = yolov8.flops_per_image(spec, imgsz)
+        assert 0.85 < ours / xla_flops < 1.15, (variant, ours, xla_flops)
