@@ -15,7 +15,7 @@ CRAFT forward + ``text_regions_from_scores`` exactly as
 line is found when a predicted box covers its center with IoU >= 0.3).
 
 Usage:
-  python -m manual_yolo_tpu.cli.eval_craft --weights weights/craft_synth.npz
+  python -m manual_yolo_tpu.cli.eval_craft --weights weights/craft_real.npz
 """
 
 from __future__ import annotations
@@ -185,7 +185,7 @@ def evaluate(weights: str, splits=("test",), text_threshold: float = 0.7,
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Evaluate CRAFT on real UI text")
-    ap.add_argument("--weights", default="weights/craft_synth.npz")
+    ap.add_argument("--weights", default="weights/craft_real.npz")
     ap.add_argument("--splits", default="test")
     ap.add_argument("--text-threshold", type=float, default=0.7)
     ap.add_argument("--limit", type=int, default=0)

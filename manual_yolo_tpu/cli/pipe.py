@@ -38,7 +38,7 @@ def main(argv=None) -> int:
     ap.add_argument("--ocr-weights",
                     default=cfg.ocr.recognizer_weights or "weights/crnn_real_a.npz,weights/crnn_real_b.npz")
     ap.add_argument("--text-detector",
-                    default=cfg.ocr.detector_weights or "weights/craft_synth.npz",
+                    default=cfg.ocr.detector_weights or "weights/craft_real.npz",
                     help="CRAFT weights for multi-line read_region fallback")
     ap.add_argument("--imgsz", type=int, default=cfg.pipe.yolo_imgsz)  # pipe.py:41
     ap.add_argument("--conf", type=float, default=cfg.pipe.yolo_conf)  # pipe.py:42

@@ -181,16 +181,60 @@ def forward(params, x, compute_dtype=jnp.float32, bn_ctx=None) -> jnp.ndarray:
     return h  # (N, H/2, W/2, 2) raw scores
 
 
+def _split_line_bands(
+    prof: np.ndarray, low: float, prominence: float = 0.08, min_rows: int = 2
+) -> List[Tuple[int, int]]:
+    """1-D watershed over a component's row profile -> per-text-line bands.
+
+    Stacked UI lines (name over stack, the panels ``read_region`` sees —
+    reference detect.py:198 feeds the same panels to EasyOCR's CRAFT) keep
+    the binarized mask connected through affinity bridges, but the REGION
+    profile stays bimodal in y with a shallow valley. Accept a cut at the
+    minimum between consecutive local maxima when it dips ``prominence``
+    below both peaks; a single line's profile is unimodal, so it never cuts.
+    """
+    n = len(prof)
+    p = prof
+    if n >= 3:
+        p = np.convolve(prof, [0.25, 0.5, 0.25], mode="same")
+    peaks = [
+        i for i in range(n)
+        if p[i] > low
+        and (i == 0 or p[i] >= p[i - 1])
+        and (i == n - 1 or p[i] > p[i + 1])
+    ]
+    cuts: List[int] = []
+    last = -1
+    for pk in peaks:
+        if last < 0:
+            last = pk
+            continue
+        seg = p[last:pk + 1]
+        vi = last + int(seg.argmin())
+        if seg.min() <= min(p[last], p[pk]) - prominence:
+            cuts.append(vi)
+            last = pk
+        elif p[pk] > p[last]:
+            last = pk  # same band, keep the taller peak as its anchor
+    edges = [0] + cuts + [n]
+    return [(a, b) for a, b in zip(edges[:-1], edges[1:]) if b - a >= min_rows]
+
+
 def text_regions_from_scores(
     scores: np.ndarray,
     text_threshold: float = 0.7,
     link_threshold: float = 0.4,
     low_text: float = 0.4,
+    split_lines: bool = True,
 ) -> List[Tuple[int, int, int, int]]:
     """Host postprocess: region+affinity heatmaps -> text-line boxes.
 
     Thresholded union of region/link maps, connected components, per-component
     bounding boxes in heatmap coordinates (x1, y1, x2, y2) * 2 = image px.
+    With ``split_lines`` (default), components whose region row-profile is
+    multimodal are watershed-split into one box per text line — stacked
+    name/stack panel rows sit close enough that their masks merge, and the
+    CRNN recognizer downstream needs single-line crops.
     """
     import cv2
 
@@ -204,8 +248,24 @@ def text_regions_from_scores(
         if region[mask].max() < text_threshold:
             continue
         ys, xs = np.nonzero(mask)
-        out.append((int(xs.min()) * 2, int(ys.min()) * 2,
-                    (int(xs.max()) + 1) * 2, (int(ys.max()) + 1) * 2))
+        y0, y1 = int(ys.min()), int(ys.max()) + 1
+        whole = (int(xs.min()) * 2, y0 * 2,
+                 (int(xs.max()) + 1) * 2, y1 * 2)
+        sub = np.where(mask[y0:y1], region[y0:y1], 0.0)
+        bands = (_split_line_bands(sub.max(axis=1), low_text)
+                 if split_lines else [])
+        if len(bands) < 2:
+            out.append(whole)
+            continue
+        for a, b in bands:
+            if sub[a:b].max() < text_threshold:
+                continue
+            sy, sx = np.nonzero(mask[y0 + a:y0 + b])
+            if sy.size == 0:
+                continue
+            out.append((int(sx.min()) * 2, (y0 + a + int(sy.min())) * 2,
+                        (int(sx.max()) + 1) * 2,
+                        (y0 + a + int(sy.max()) + 1) * 2))
     return out
 
 

@@ -668,7 +668,7 @@ class OCREngine:
 
 def default_ocr_engine(
     weights: str = "weights/crnn_real_a.npz,weights/crnn_real_b.npz",
-    text_detector: Optional[str] = "weights/craft_synth.npz",
+    text_detector: Optional[str] = "weights/craft_real.npz",
 ) -> Optional["OCREngine"]:
     """Build the default OCR engine, or None if no weights exist.
 
