@@ -265,20 +265,31 @@ def warmup_stream(stream, frames, deadline: float | None = None,
     the remaining programs compile lazily inside pass 1 — a slower first
     pass but a pass that HAPPENS, instead of a watchdog kill."""
     import collections
+    import sys
 
+    verbose = bool(os.environ.get("MYOLO_BENCH_VERBOSE"))
     pend = collections.deque()
     warmed = 0
     for t in (0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)[: max(warm_batches, 3)]:
         bf = batch_at(frames, t)
+        t0 = time.perf_counter()
         stream.submit_batch(bf)
+        t1 = time.perf_counter()
         pend.append(bf)
         warmed += 1
+        t2 = t1
         if stream.in_flight > IN_FLIGHT:
             res = stream.collect_batch()
+            t2 = time.perf_counter()
             if field_ocr is not None:
                 field_ocr.process(pend.popleft(), res)
             else:
                 pend.popleft()
+        if verbose:
+            print(f"[bench] warm batch {warmed} submit {t1 - t0:.1f}s "
+                  f"collect {t2 - t1:.1f}s ocr {time.perf_counter() - t2:.1f}s "
+                  f"modes {dict(stream.mode_counts)}",
+                  file=sys.stderr, flush=True)
         if deadline is not None and time.perf_counter() > deadline:
             break
     while stream.in_flight:

@@ -77,17 +77,28 @@ class FieldOCRMemo:
         self.pad = pad
         self.max_read_per_batch = max_read_per_batch
         self._cache: Dict[Tuple[int, int], Tuple[np.ndarray, str]] = {}
+        # content-level memo: (class_id, crop shape, pixel digest) -> text.
+        # Identical pixels mean identical text regardless of which lane or
+        # frame produced them — shared skin elements ("Pot:" badges, button
+        # glyphs) and multi-lane streams of the same source collapse to one
+        # recognizer read. Exact-bytes only; photometric shifts are the
+        # per-slot cache's job (span test above).
+        self._content: Dict[Tuple, str] = {}
         self.fields_seen = 0
         self.fields_read = 0
         self.fields_memo = 0
+        self.fields_dedup = 0
         self.fields_deferred = 0
 
     def process(self, frames: List[np.ndarray],
                 results: List[List[dict]]) -> int:
         """Fill ``ocr_text`` on eligible fields; returns #recognizer reads."""
+        import hashlib
+
         from manual_yolo_tpu.runtime.native import crop_u8
 
-        refs: List[Tuple[int, int, Tuple[int, int], np.ndarray]] = []
+        refs: List[Tuple[int, int, Tuple[int, int], np.ndarray, Tuple, int]] = []
+        unique: Dict[Tuple, int] = {}
         crops: List[np.ndarray] = []
         names: List[str] = []
         p = self.pad
@@ -109,22 +120,40 @@ class FieldOCRMemo:
                     d["ocr_text"] = hit[1]
                     self.fields_memo += 1
                     continue
-                if len(crops) >= self.max_read_per_batch:
-                    # overload guard: better one stale field than an
-                    # unbounded recognizer batch; it re-tries next batch
-                    self.fields_deferred += 1
-                    if hit is not None:
-                        d["ocr_text"] = hit[1]
+                ckey = (d["class_id"], crop.shape,
+                        hashlib.sha1(crop.tobytes()).digest())
+                text2 = self._content.get(ckey)
+                if text2 is not None:
+                    d["ocr_text"] = text2
+                    self._cache[key] = (crop.astype(np.int16), text2)
+                    self.fields_dedup += 1
                     continue
-                refs.append((slot, di, key, crop.astype(np.int16)))
-                crops.append(crop)
-                names.append(name)
+                ui = unique.get(ckey)
+                if ui is None:
+                    if len(crops) >= self.max_read_per_batch:
+                        # overload guard: better one stale field than an
+                        # unbounded recognizer batch; it re-tries next batch
+                        self.fields_deferred += 1
+                        if hit is not None:
+                            d["ocr_text"] = hit[1]
+                        continue
+                    ui = len(crops)
+                    unique[ckey] = ui
+                    crops.append(crop)
+                    names.append(name)
+                else:
+                    self.fields_dedup += 1
+                refs.append((slot, di, key, crop.astype(np.int16), ckey, ui))
         if crops:
             texts = self.engine.read_fields(crops, names)
             self.fields_read += len(crops)
-            for (slot, di, key, crop_i16), text in zip(refs, texts):
-                results[slot][di]["ocr_text"] = text or ""
-                self._cache[key] = (crop_i16, text or "")
+            if len(self._content) > 200_000:  # bound long-run memory
+                self._content.clear()
+            for (slot, di, key, crop_i16, ckey, ui) in refs:
+                text = texts[ui] or ""
+                results[slot][di]["ocr_text"] = text
+                self._cache[key] = (crop_i16, text)
+                self._content[ckey] = text
         return len(crops)
 
     def stats(self) -> Dict[str, int]:
@@ -132,5 +161,6 @@ class FieldOCRMemo:
             "fields_seen": self.fields_seen,
             "fields_read": self.fields_read,
             "fields_memo": self.fields_memo,
+            "fields_dedup": self.fields_dedup,
             "fields_deferred": self.fields_deferred,
         }

@@ -97,6 +97,28 @@ def test_memo_is_per_slot():
     assert d0[0]["ocr_text"] != d1[0]["ocr_text"]
 
 
+def test_memo_dedups_identical_content_across_slots():
+    """Identical field pixels (multi-lane streams of one source, shared
+    skin elements) must cost ONE recognizer read: in-batch duplicates fan
+    out the same text, and later slots hit the content memo with no read."""
+    rng = np.random.default_rng(4)
+    frame = rng.integers(20, 230, (50, 80, 3), np.uint8)
+    eng = FakeEngine()
+    memo = FieldOCRMemo(eng)
+    d0 = [_det(42, "total_pot", (5, 5, 75, 25))]
+    d1 = [_det(42, "total_pot", (5, 5, 75, 25))]
+    memo.process([frame, frame.copy()], [d0, d1])
+    assert eng.calls == [1]  # same pixels: one read, fanned out
+    assert d0[0]["ocr_text"] == d1[0]["ocr_text"] != ""
+    # a THIRD slot appearing later with the same content: content-memo hit
+    d2 = [_det(42, "total_pot", (5, 5, 75, 25))]
+    memo.process([None, None, frame.copy()], [[], [], d2])
+    assert eng.calls == [1]
+    assert d2[0]["ocr_text"] == d0[0]["ocr_text"]
+    s = memo.stats()
+    assert s["fields_dedup"] == 2 and s["fields_read"] == 1
+
+
 def test_memo_overload_guard_defers():
     rng = np.random.default_rng(3)
     frame = rng.integers(20, 230, (40, 300, 3), np.uint8)
