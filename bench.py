@@ -300,7 +300,8 @@ def warmup_stream(stream, frames, deadline: float | None = None,
 
 
 def measure_stream(stream, frames, meas_batches=MEAS_BATCHES,
-                   resync: int = 0, field_ocr=None) -> float:
+                   resync: int = 0, field_ocr=None,
+                   deadline: float | None = None) -> float:
     """End-to-end fps through the batched stream (captures link + host +
     device). The stream EVOLVES batch to batch — slot i of batch t holds
     frame (t+i) mod n, so consecutive batches differ by one step of the
@@ -311,7 +312,11 @@ def measure_stream(stream, frames, meas_batches=MEAS_BATCHES,
     the full reference per-frame stack (detect.py:580-600).
 
     Callers must run :func:`warmup_stream` first; ``resync`` adds a couple
-    of untimed batches to re-enter steady state between passes."""
+    of untimed batches to re-enter steady state between passes.
+    ``deadline`` (absolute perf_counter value) stops SUBMITTING past it —
+    in-flight batches still drain and count, so a degraded-link pass
+    returns a valid (if lower-sample) throughput instead of hanging into
+    the watchdog kill."""
     import collections
 
     pend = collections.deque()
@@ -335,6 +340,8 @@ def measure_stream(stream, frames, meas_batches=MEAS_BATCHES,
     sub_ts: list = []
     t0 = time.perf_counter()
     for t in range(meas_batches):
+        if deadline is not None and time.perf_counter() > deadline and t >= 3:
+            break
         sub_ts.append(time.perf_counter())
         bf = batch_at(frames, t)
         stream.submit_batch(bf)
@@ -361,10 +368,15 @@ def build_field_ocr():
     eng = default_ocr_engine()
     if eng is None:
         return None
-    # bound the compiled-program set: every recognizer call pads to one of
-    # a handful of buckets (32..128) so warmup covers what measurement hits
-    eng.MIN_BUCKET = 32
-    return FieldOCRMemo(eng)
+    # pin every recognizer call to ONE bucket (= MAX_CHUNK): exactly one
+    # compiled program per (group, kind), stable across runs, so a cold
+    # driver run takes every OCR compile from the persistent cache instead
+    # of discovering bucket sizes mid-measurement
+    eng.MIN_BUCKET = eng.MAX_CHUNK
+    # bound the worst-case single-batch read flood (the content memo makes
+    # reads rare after the first stream cycle; 256 keeps the cold batches
+    # under the watchdog even on a degraded-link day)
+    return FieldOCRMemo(eng, max_read_per_batch=256)
 
 
 def measure_static_stream(stream, frames, meas_batches=MEAS_BATCHES) -> float:
@@ -498,7 +510,8 @@ def run_measurement():
     lat_ms = None
     for i in range(3):
         f = measure_stream(stream, frames, resync=2 if i else 0,
-                           field_ocr=field_ocr)
+                           field_ocr=field_ocr,
+                           deadline=t_start + SOFT_DEADLINE)
         passes.append(f)
         if f == max(passes):  # latency of the best pass (least stall noise)
             lat_ms = measure_stream.last_latency_ms
