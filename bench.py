@@ -35,8 +35,12 @@ PEAK_TFLOPS = 197.0  # TPU v5e bf16 peak, for the MFU companion metric
 # 64 measured ~equal to 32 on strong link episodes (257 vs 247 fps) and
 # ~2x better on weak ones (205 vs 98) — the robust default.
 BATCH = int(os.environ.get("MYOLO_BENCH_BATCH", "64"))
-# raw_active + skip + all 8 segs-mode jitter deltas
-WARM_BATCHES = int(os.environ.get("MYOLO_BENCH_WARM", "10"))
+# raw + skip + one full content cycle of segs-mode deltas: the stream is
+# periodic in N_FRAMES (32), so 34 warm batches visit every batch-to-batch
+# transition the measurement will replay — pass 1 hits no cold payload
+# bucket (r3 diagnosis: warm=10 left t=9..11 compiling inside pass 1,
+# 26.8 fps vs 176 warm)
+WARM_BATCHES = int(os.environ.get("MYOLO_BENCH_WARM", "34"))
 MEAS_BATCHES = int(os.environ.get("MYOLO_BENCH_MEAS", "12"))
 IN_FLIGHT = 2
 # Wall-clock discipline (round-2 lesson: BENCH_r02 rc=124 — the 2x1200 s
@@ -253,6 +257,22 @@ def batch_at(frames, t):
     return [frames[(t + i) % len(frames)] for i in range(BATCH)]
 
 
+# Shared stream cursor: every phase (warmup, resync, measurement passes)
+# CONTINUES the content stream instead of restarting at t=0 — a restart
+# makes the first delta an 11-step content jump (every slot repainted),
+# which falls back to raw/fused_raw uploads and cold payload buckets right
+# inside a timed pass. With a monotone cursor each submitted batch differs
+# from its predecessor by exactly one stream step, like a real capture.
+_CURSOR = [0]
+
+
+def next_batch(frames, advance: bool = True):
+    t = _CURSOR[0]
+    if advance:
+        _CURSOR[0] += 1
+    return batch_at(frames, t)
+
+
 def warmup_stream(stream, frames, deadline: float | None = None,
                   warm_batches: int = WARM_BATCHES, field_ocr=None) -> int:
     """Compile the delta-mode programs: raw (first batch), skip (repeat),
@@ -270,8 +290,12 @@ def warmup_stream(stream, frames, deadline: float | None = None,
     verbose = bool(os.environ.get("MYOLO_BENCH_VERBOSE"))
     pend = collections.deque()
     warmed = 0
-    for t in (0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)[: max(warm_batches, 3)]:
-        bf = batch_at(frames, t)
+    for w in range(max(warm_batches, 3)):
+        # batch 2 repeats batch 1's content (the cursor only advances from
+        # the second submit on) so the skip program (byte-identical batch)
+        # compiles; everything else walks the stream one step per batch,
+        # covering the full content cycle
+        bf = next_batch(frames, advance=w != 0)
         t0 = time.perf_counter()
         stream.submit_batch(bf)
         t1 = time.perf_counter()
@@ -328,8 +352,8 @@ def measure_stream(stream, frames, meas_batches=MEAS_BATCHES,
             pend.popleft()
         return len(res)
 
-    for t in range(resync):
-        bf = batch_at(frames, t)
+    for _ in range(resync):
+        bf = next_batch(frames)
         stream.submit_batch(bf)
         pend.append(bf)
     while stream.in_flight:
@@ -343,7 +367,7 @@ def measure_stream(stream, frames, meas_batches=MEAS_BATCHES,
         if deadline is not None and time.perf_counter() > deadline and t >= 3:
             break
         sub_ts.append(time.perf_counter())
-        bf = batch_at(frames, t)
+        bf = next_batch(frames)
         stream.submit_batch(bf)
         pend.append(bf)
         if stream.in_flight > IN_FLIGHT:
@@ -508,17 +532,24 @@ def run_measurement():
     # from defining the headline — but the FIRST pass already emits
     passes = []
     lat_ms = None
+    pay_mb = None
     for i in range(3):
+        stream.reset_stage_stats()
         f = measure_stream(stream, frames, resync=2 if i else 0,
                            field_ocr=field_ocr,
                            deadline=t_start + SOFT_DEADLINE)
         passes.append(f)
-        if f == max(passes):  # latency of the best pass (least stall noise)
+        pays = sorted(stream.stage_stats.get("payload_mb", []))
+        if f == max(passes):  # stats of the best pass (least stall noise)
             lat_ms = measure_stream.last_latency_ms
+            if pays:
+                pay_mb = {"p50": round(pays[len(pays) // 2], 2),
+                          "max": round(pays[-1], 2)}
         emit(
             float(np.median(passes)),
             passes=[round(p, 2) for p in passes],
             batch_latency_ms_p50=lat_ms,
+            payload_mb_per_batch=pay_mb,
             delta_modes=dict(stream.mode_counts),
             crop_modes=dict(stream.crop_mode_counts),
             ocr=field_ocr.stats() if field_ocr is not None else None,

@@ -26,6 +26,9 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0,
                     help="init/augmentation seed (the real-crop holdout "
                          "split is seed-independent)")
+    ap.add_argument("--init-from", default="",
+                    help="warm-start checkpoint (fine-tune); geometry "
+                         "must match")
     args = ap.parse_args(argv)
 
     from manual_yolo_tpu.train.ocr import OCRTrainConfig, train_ocr
@@ -35,7 +38,7 @@ def main(argv=None) -> int:
         width=args.width, img_h=args.img_h, hidden=args.hidden, lr=args.lr,
         pool_size=args.pool_size, real_labels=args.real_labels,
         real_splits=tuple(args.real_splits.split(",")), real_frac=args.real_frac,
-        seed=args.seed,
+        seed=args.seed, init_from=args.init_from,
     )
     res = train_ocr(cfg)
     print(json.dumps(res, indent=2))

@@ -1563,6 +1563,14 @@ class BatchStream:
             else:
                 item["flat"] = staging.reshape(-1).copy()
         self.mode_counts[mode] += 1
+        _pay = item.get("payload")
+        if _pay is None:
+            _pay = item.get("act", item.get("flat"))
+        # bytes this batch actually sends over the link (0 for skip/memo
+        # batches) — not a wall time; bench.py reads the deque directly
+        self.stage_stats["payload_mb"].append(
+            (_pay.nbytes if _pay is not None else 0) / 1e6
+        )
         if self.delta:
             self._prev_staging = staging
             self._prev_metas = list(metas)
@@ -1840,6 +1848,8 @@ class BatchStream:
         batches, optionally skipping the first ``skip`` warmup entries)."""
         out = {}
         for k, v in self.stage_stats.items():
+            if k == "payload_mb":  # bytes, not a wall time — read directly
+                continue
             lv = list(v)
             vs = sorted(lv[skip:] if len(lv) > skip else lv)
             if not vs:

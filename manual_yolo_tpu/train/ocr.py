@@ -294,6 +294,9 @@ class OCRTrainConfig:
     real_labels: str = ""
     real_splits: Tuple[str, ...] = ("valid",)
     real_frac: float = 0.35
+    # warm-start from an existing checkpoint (fine-tune) instead of random
+    # init — geometry (hidden/width/img_h) must match
+    init_from: str = ""
 
 
 def _encode_label(t: str, max_label: int):
@@ -377,6 +380,18 @@ def train_ocr(cfg: OCRTrainConfig, log=print) -> Dict[str, float]:
     rng = np.random.default_rng(cfg.seed)
     cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     params = crnn.init_params(jax.random.PRNGKey(cfg.seed), cfg.hidden)
+    if cfg.init_from:
+        from manual_yolo_tpu.core.serialization import load_params
+
+        init, imeta = load_params(cfg.init_from)
+        want = [x.shape for x in jax.tree_util.tree_leaves(params)]
+        got = [x.shape for x in jax.tree_util.tree_leaves(init)]
+        if want != got:
+            raise ValueError(
+                f"init_from {cfg.init_from} geometry mismatch: {imeta}"
+            )
+        params = init
+        log(f"warm-start from {cfg.init_from} ({imeta})")
     sched = optax.warmup_cosine_decay_schedule(
         cfg.lr * 0.05, cfg.lr, min(300, cfg.steps // 5), cfg.steps, cfg.lr * 0.02
     )
