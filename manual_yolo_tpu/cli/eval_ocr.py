@@ -109,8 +109,9 @@ def evaluate_real(engine, labels_path: str, min_confidence: float = 0.0,
 
 
 def main(argv=None) -> int:
+    from manual_yolo_tpu.runtime.ocr import DEFAULT_RECOGNIZER_WEIGHTS
     ap = argparse.ArgumentParser(description="Evaluate OCR on real UI crops")
-    ap.add_argument("--weights", default="weights/crnn_real_a.npz,weights/crnn_real_b.npz")
+    ap.add_argument("--weights", default=DEFAULT_RECOGNIZER_WEIGHTS)
     ap.add_argument("--text-detector", default="",
                     help="optional CRAFT weights: enables the multi-line "
                          "detect-then-read fallback during eval")

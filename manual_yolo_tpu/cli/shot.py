@@ -25,6 +25,7 @@ def main(argv=None) -> int:
     pre_args, _ = pre.parse_known_args(argv)
 
     from manual_yolo_tpu.config import AppConfig
+    from manual_yolo_tpu.runtime.ocr import DEFAULT_RECOGNIZER_WEIGHTS
 
     cfg = AppConfig.load(pre_args.config)
 
@@ -42,7 +43,7 @@ def main(argv=None) -> int:
     ap.add_argument("--dtype", default=cfg.detector.compute_dtype,
                     choices=["bfloat16", "float32"])
     ap.add_argument("--ocr-weights",
-                    default=cfg.ocr.recognizer_weights or "weights/crnn_real_a.npz,weights/crnn_real_b.npz")
+                    default=cfg.ocr.recognizer_weights or DEFAULT_RECOGNIZER_WEIGHTS)
     ap.add_argument("--text-detector",
                     default=cfg.ocr.detector_weights or "weights/craft_real.npz",
                     help="CRAFT weights for multi-line read_region fallback")

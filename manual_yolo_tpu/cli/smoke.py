@@ -13,10 +13,11 @@ import sys
 
 
 def main(argv=None) -> int:
+    from manual_yolo_tpu.runtime.ocr import DEFAULT_RECOGNIZER_WEIGHTS
     ap = argparse.ArgumentParser(description="Framework smoke check")
     ap.add_argument("--detector", default="weights/poker_detector.npz")
     ap.add_argument("--classifier", default="weights/rank_classifier_matched.npz")
-    ap.add_argument("--ocr-weights", default="weights/crnn_real_a.npz,weights/crnn_real_b.npz")
+    ap.add_argument("--ocr-weights", default=DEFAULT_RECOGNIZER_WEIGHTS)
     args = ap.parse_args(argv)
 
     failures = 0

@@ -16,7 +16,7 @@ part (f).
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -145,10 +145,17 @@ class OCREngine:
                 lambda p, x: craft_mod.forward(p, x, jnp.float32)
             )
 
-    def _add_group(self, trees: List, width: int, img_h: int) -> None:
+    def _add_group(self, trees: List, width: int, img_h: int,
+                   kinds=None) -> None:
         """Register a geometry group: a stack of same-shape param trees that
         share an input canvas (img_h, width). Each group compiles its own
-        recognizer call; candidates from every group compete on host."""
+        recognizer call; candidates from every group compete on host.
+
+        ``kinds`` (None = all) restricts the group to specific field kinds:
+        the 64-px high-resolution member fixes narrow-glyph name confusions
+        but its 2x-scaled lead-in truncates leading digits on short numeric
+        crops ('1.48L' -> '.48L' on real holdout), so it ships gated to
+        name+game_id and never sees numeric fields."""
         from types import SimpleNamespace
 
         n_models = len(trees)
@@ -160,10 +167,17 @@ class OCREngine:
             )
         )
         g = SimpleNamespace(params=params, n_models=n_models, width=width,
-                            img_h=img_h)
+                            img_h=img_h,
+                            kinds=frozenset(kinds) if kinds else None)
         g.run = jax.jit(partial(self._run_impl, n_models=n_models))
         g.run_logp = jax.jit(partial(self._run_logp_impl, n_models=n_models))
         self._groups.append(g)
+
+    def _groups_for(self, kind: str) -> List:
+        """Groups competing for this field kind (kind-gated members sit
+        out); falls back to every group if the gating excluded them all."""
+        gs = [g for g in self._groups if g.kinds is None or kind in g.kinds]
+        return gs or self._groups
 
     @classmethod
     def from_npz(cls, path, compute_dtype=jnp.float32,
@@ -171,7 +185,9 @@ class OCREngine:
         """``path``: one npz path, or a list/comma-separated string of
         paths -> seed ensemble. Members whose (width, img_h) geometry
         differs (e.g. the 64-px high-resolution member) land in their own
-        group; all groups' candidates compete at decode time."""
+        group; all groups' candidates compete at decode time. A member
+        whose meta carries ``kinds`` (comma-separated field kinds) only
+        competes for those kinds (see _add_group)."""
         from manual_yolo_tpu.core.serialization import load_params
 
         paths = (
@@ -179,11 +195,15 @@ class OCREngine:
             if isinstance(path, str)
             else list(path)
         )
-        by_geom: Dict[Tuple[int, int], List] = {}
-        order: List[Tuple[int, int]] = []
+        by_geom: Dict[Tuple[int, int, Any], List] = {}
+        order: List[Tuple[int, int, Any]] = []
         for p in paths:
             params, meta = load_params(p)
-            geom = (int(meta.get("width", 256)), int(meta.get("img_h", 32)))
+            kinds = meta.get("kinds") or None
+            if isinstance(kinds, str):
+                kinds = tuple(sorted(k for k in kinds.split(",") if k))
+            geom = (int(meta.get("width", 256)), int(meta.get("img_h", 32)),
+                    kinds)
             if geom not in by_geom:
                 by_geom[geom] = []
                 order.append(geom)
@@ -199,11 +219,13 @@ class OCREngine:
                 from manual_yolo_tpu.models import craft as craft_mod
 
                 td = craft_mod.load_npz(text_detector)
-        (w0, h0), rest = order[0], order[1:]
-        eng = cls(by_geom[(w0, h0)], width=w0, img_h=h0,
+        (w0, h0, k0), rest = order[0], order[1:]
+        eng = cls(by_geom[(w0, h0, k0)], width=w0, img_h=h0,
                   compute_dtype=compute_dtype, text_detector_params=td)
+        if k0:
+            eng._groups[0].kinds = frozenset(k0)
         for geom in rest:
-            eng._add_group(by_geom[geom], geom[0], geom[1])
+            eng._add_group(by_geom[geom], geom[0], geom[1], kinds=geom[2])
         return eng
 
     # -- device program ----------------------------------------------------
@@ -328,7 +350,7 @@ class OCREngine:
         if not crops_gray:
             return []
         best: List[Tuple[str, float]] = [("", -1.0)] * len(crops_gray)
-        for g in self._groups:
+        for g in self._groups_for(kind):
             ids, conf = self._run_bucketed(
                 g.run, g.params, self._pre_batch(g, crops_gray, kind),
                 self._masks[kind],
@@ -382,8 +404,9 @@ class OCREngine:
         # one device call per geometry group; every group's decodes (and, in
         # beam mode, every group's winning-variant log-probs) are pooled and
         # compete on host
+        groups = self._groups_for(kind)
         g_ids, g_conf, g_logps = [], [], []
-        for g in self._groups:
+        for g in groups:
             batch = self._pre_batch(g, crops_gray, kind)
             if beam:
                 ids, conf, logps = self._run_bucketed(
@@ -402,7 +425,7 @@ class OCREngine:
             # stable: on ties the primary group's primary mask comes first
             flat = [
                 (gi, j)
-                for gi in range(len(self._groups))
+                for gi in range(len(groups))
                 for j in range(g_conf[gi].shape[1])
             ]
             flat.sort(key=lambda t: -float(g_conf[t[0]][i, t[1]]))
@@ -666,20 +689,32 @@ class OCREngine:
         return None
 
 
+#: Default recognizer ensemble: two 32-px seeds fine-tuned on the real-crop
+#: corpus, plus the 64-px high-resolution member (kind-gated in its meta to
+#: name+game_id). 0.9562 exact-match on the 251 held-out real crops
+#: (cli/eval_ocr.py), vs 0.948 for the previous two-member default.
+DEFAULT_RECOGNIZER_WEIGHTS = (
+    "weights/crnn_real_a.npz,weights/crnn_real_b.npz,weights/crnn_h64.npz"
+)
+
+
 def default_ocr_engine(
-    weights: str = "weights/crnn_real_a.npz,weights/crnn_real_b.npz",
+    weights: str = DEFAULT_RECOGNIZER_WEIGHTS,
     text_detector: Optional[str] = "weights/craft_real.npz",
 ) -> Optional["OCREngine"]:
     """Build the default OCR engine, or None if no weights exist.
 
-    The default is a two-seed ENSEMBLE of CRNNs co-trained on synthetic
-    renders AND the labelled real UI crops (data/ocr_real): every model's
-    logits are decoded under every allowlist mask and preprocessing
-    variant, all candidates competing on confidence. Selected on the
-    283-crop train-side holdout (0.929 vs 0.905 for the best previous
-    single model); 0.924 exact-match on the held-out real test sources
-    (names 0.872 vs 0.767 single). Missing member files are dropped
-    gracefully (a single present member = single-model engine).
+    The default is an ENSEMBLE of CRNNs co-trained on synthetic renders
+    AND the labelled real UI crops (data/ocr_real): every model's logits
+    are decoded under every allowlist mask and preprocessing variant, all
+    candidates competing on confidence. The third member runs a 64-px
+    input canvas (2x the glyph pixels — fixes narrow-glyph name/id
+    confusions) and is gated by its meta to name+game_id fields, where it
+    measurably helps; on short numeric crops it truncates leading digits,
+    so it never sees them. Held-out real-crop exact-match 0.9562 (names
+    0.919, numerics 0.980) vs 0.948 for the two-member ensemble. Missing
+    member files are dropped gracefully (a single present member =
+    single-model engine).
 
     ``text_detector`` names optional CRAFT weights; when the file exists the
     engine gains ``read_region`` (EasyOCR readtext parity: detect text lines,

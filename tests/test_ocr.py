@@ -348,6 +348,45 @@ def test_multi_geometry_groups_merge_candidates(tmp_path):
         assert {t for t, _ in cs} <= {t for t, _ in cm}
 
 
+def test_kind_gated_group_sits_out_other_kinds(tmp_path):
+    """A member whose meta carries ``kinds`` only competes for those field
+    kinds: reads of other kinds must be bit-identical to an engine built
+    without the gated member (the shipped h64 member is gated to
+    name+game_id because its 2x lead-in truncates leading digits on short
+    numeric crops)."""
+    import jax
+
+    from manual_yolo_tpu.core.serialization import save_params
+    from manual_yolo_tpu.runtime.ocr import OCREngine
+
+    p1 = crnn.init_params(jax.random.PRNGKey(0), hidden=32)
+    p2 = crnn.init_params(jax.random.PRNGKey(5), hidden=32)
+    a, b = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    save_params(a, p1, meta={"hidden": 32, "width": 96, "img_h": 32})
+    save_params(b, p2, meta={"hidden": 32, "width": 96, "img_h": 64,
+                             "kinds": "game_id,name"})
+    eng = OCREngine.from_npz([a, b])
+    assert eng._groups[0].kinds is None
+    assert eng._groups[1].kinds == frozenset({"game_id", "name"})
+    assert len(eng._groups_for("numeric")) == 1
+    assert len(eng._groups_for("name")) == 2
+
+    rng = np.random.default_rng(1)
+    crops = [rng.random((20, 60)).astype(np.float32) for _ in range(2)]
+    solo = OCREngine.from_npz([a])
+    solo.beam = eng.beam = False
+    for kind in ("numeric", "card"):
+        assert eng.read_batch_candidates(crops, kind) == \
+            solo.read_batch_candidates(crops, kind)
+    # gated kind: the extra member only ADDS candidates
+    for cs, cm in zip(solo.read_batch_candidates(crops, "name"),
+                      eng.read_batch_candidates(crops, "name")):
+        assert {t for t, _ in cs} <= {t for t, _ in cm}
+    # every group gated away -> fall back to all groups rather than none
+    eng._groups[0].kinds = frozenset({"name"})
+    assert len(eng._groups_for("numeric")) == 2
+
+
 def test_run_bucketed_pads_and_chunks_consistently():
     """Bucketed execution (pad-to-power-of-2, chunk at MAX_CHUNK) must
     return exactly the per-crop results of individual calls — pad lanes

@@ -83,7 +83,7 @@ def test_ocr_real_checkpoints():
     (train/ocr.py)."""
     from manual_yolo_tpu.models import crnn
 
-    for name in ("crnn_real_a.npz", "crnn_real_b.npz"):
+    for name in ("crnn_real_a.npz", "crnn_real_b.npz", "crnn_h64.npz"):
         params, meta = _load(name)
         assert int(meta["width"]) in (192, 256)
         assert float(meta["real_holdout"]) >= 0.90, name
@@ -92,6 +92,11 @@ def test_ocr_real_checkpoints():
         s1 = [x.shape for x in jax.tree_util.tree_leaves(params)]
         s2 = [x.shape for x in jax.tree_util.tree_leaves(rand)]
         assert s1 == s2, name
+    # the high-resolution member ships kind-gated: 64-px canvas, and it
+    # must never compete for numeric fields (leading-digit truncation)
+    _, meta = _load("crnn_h64.npz")
+    assert int(meta["img_h"]) == 64
+    assert set(meta["kinds"].split(",")) == {"game_id", "name"}
 
 
 def test_torch_numeric_parity_rank_classifier():
