@@ -430,31 +430,45 @@ def measure_compute_only(stream) -> dict:
     Times detect+NMS+pack AND the rank-classify program (on the resident
     crop plane), reports the combined per-frame ceiling plus achieved
     TFLOP/s and MFU from the analytic conv FLOPs (flops_per_image,
-    validated against XLA cost_analysis)."""
+    validated against XLA cost_analysis).
+
+    TIMING HONESTY: through the axon tunnel ``jax.block_until_ready``
+    resolves before the remote work finished (tools/roofline_probe.py
+    measured a batch-64 forward "blocking" at >10x peak FLOP/s), so each
+    timed run ends in a VALUE fetch — the device queue is serial, one
+    fetched element syncs everything before it — and the per-exec time is
+    the SLOPE between a reps and a 2*reps run, cancelling the fetch
+    round-trip."""
     import jax
+    import numpy as _np
+
+    def _sync(out):
+        # fetch the SMALL leaf (packed detections / probs), never the
+        # resident-canvas passthrough
+        _np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+    def timed(fn, *a, reps=10):
+        _sync(fn(*a))  # warm + true sync
+
+        def run(n):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = fn(*a)
+            _sync(out)
+            return time.perf_counter() - t0
+
+        t1, t2 = run(reps), run(2 * reps)
+        return max(t2 - t1, 1e-9) / (BATCH * reps)
 
     from manual_yolo_tpu.models import yolov8
 
     # the skip program IS "detect the resident canvas" — already compiled
     # by the warmup, and _dev_prev holds real table content at this point
-    out = stream._detect_skip(stream.det_params, stream._dev_prev)
-    jax.block_until_ready(out)
-    reps = 20
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = stream._detect_skip(stream.det_params, stream._dev_prev)
-    jax.block_until_ready(out)
-    det_s = (time.perf_counter() - t0) / (BATCH * reps)
-
+    det_s = timed(stream._detect_skip, stream.det_params, stream._dev_prev)
     # classify: the full (batch * max_rank) crop plane, as the fused
     # steady state runs it
-    cout = stream._classify(stream.cls_params, stream._dev_pred_crops)
-    jax.block_until_ready(cout)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        cout = stream._classify(stream.cls_params, stream._dev_pred_crops)
-    jax.block_until_ready(cout)
-    cls_s = (time.perf_counter() - t0) / (BATCH * reps)
+    cls_s = timed(stream._classify, stream.cls_params,
+                  stream._dev_pred_crops)
 
     det_fl = yolov8.flops_per_image(stream.det_spec, stream.imgsz)
     per_frame = det_s + cls_s
@@ -480,10 +494,16 @@ def probe_link(frames) -> dict:
     delta = np.bitwise_xor(raw, raw)  # all zeros, same size
     out = {}
     for name, buf in (("raw", raw), ("delta_zero", delta)):
-        jax.block_until_ready(jax.device_put(jnp.zeros(4, jnp.uint8)))  # prime
+        # block_until_ready lies through the tunnel (see
+        # measure_compute_only): fetch one element back to truly sync,
+        # and subtract a primed empty-put round-trip
+        int(jax.device_put(jnp.zeros(4, jnp.uint8))[0])  # prime
         t0 = time.perf_counter()
-        jax.block_until_ready(jax.device_put(buf))
-        dt = time.perf_counter() - t0
+        int(jax.device_put(jnp.zeros(4, jnp.uint8))[0])
+        rt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        int(jax.device_put(buf)[0])
+        dt = max(time.perf_counter() - t0 - rt, 1e-9)
         out[f"upload_{name}_MBps"] = round(buf.nbytes / dt / 1e6, 1)
     return out
 
@@ -552,6 +572,7 @@ def run_measurement():
             payload_mb_per_batch=pay_mb,
             delta_modes=dict(stream.mode_counts),
             crop_modes=dict(stream.crop_mode_counts),
+            memo_batches=stream.memo_hits,
             ocr=field_ocr.stats() if field_ocr is not None else None,
         )
         if elapsed() > SOFT_DEADLINE:

@@ -865,7 +865,14 @@ class BatchStream:
                 try:
                     t0 = time.perf_counter()
                     if item.pop("_memo", False):
-                        _jax.block_until_ready(item["fut"])
+                        # REAL device backpressure: block_until_ready lies
+                        # through the axon tunnel (resolves before the
+                        # remote exec finishes — tools/roofline_probe.py),
+                        # so an all-memo stretch would count batches the
+                        # device never ran. One fetched element waits for
+                        # the whole serial queue at one small round-trip.
+                        if item["fut"] is not None:
+                            float(item["fut"][0])  # 4-byte fetch, full sync
                         if last_out is None:
                             raise RuntimeError("memo batch before any result")
                         item["out"] = _copy_results(last_out)
