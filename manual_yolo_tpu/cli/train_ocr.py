@@ -29,6 +29,10 @@ def main(argv=None) -> int:
     ap.add_argument("--init-from", default="",
                     help="warm-start checkpoint (fine-tune); geometry "
                          "must match")
+    ap.add_argument("--kinds", default="",
+                    help="comma-separated field kinds to specialise on "
+                         "(e.g. 'numeric,card'); written into the weight "
+                         "meta so the engine gates the member")
     args = ap.parse_args(argv)
 
     from manual_yolo_tpu.train.ocr import OCRTrainConfig, train_ocr

@@ -1205,6 +1205,9 @@ class BatchStream:
         if kpay is None:
             kpay = crops.reshape(-1)
         self._pred_prev_crops = crops
+        # diagnostic byte split: canvas delta vs crop-plane delta
+        self.stage_stats["canvas_mb"].append(canvas_payload.nbytes / 1e6)
+        self.stage_stats["crops_mb"].append(kpay.nbytes / 1e6)
         return np.concatenate([canvas_payload, kpay]), npk, pred
 
     @staticmethod
@@ -1290,6 +1293,12 @@ class BatchStream:
         )
         if counts is None:
             return None
+        # diagnostic: per-class segment counts for this canvas encode
+        # (k1/k2/k3/kraw; const+clamp-shift = nseg - sum) — bench and the
+        # stage probe read these to attribute link bytes to delta classes
+        self.stage_stats["canvas_seg_counts"].append(
+            (nseg,) + tuple(counts)
+        )
         return self._assemble_segs_payload(
             bufs, self._staging_i % 4, counts, qs, nseg, self.B, raw_act
         )
@@ -1855,7 +1864,9 @@ class BatchStream:
         batches, optionally skipping the first ``skip`` warmup entries)."""
         out = {}
         for k, v in self.stage_stats.items():
-            if k == "payload_mb":  # bytes, not a wall time — read directly
+            # bytes / count diagnostics, not wall times — read directly
+            if k in ("payload_mb", "canvas_mb", "crops_mb",
+                     "canvas_seg_counts"):
                 continue
             lv = list(v)
             vs = sorted(lv[skip:] if len(lv) > skip else lv)

@@ -22,7 +22,7 @@ import os
 import string
 import time
 from dataclasses import dataclass
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -140,11 +140,22 @@ def random_text(rng) -> str:
     return random_sample(rng)[0]
 
 
-def random_sample(rng) -> Tuple[str, str]:
+def random_sample(rng, kinds: Optional[frozenset] = None) -> Tuple[str, str]:
     """-> (label, unlabeled_suffix). The suffix is RENDERED after the label
     (chip disc + side-pot amount, like the real 'Pot:3K [chip]2K' crops) but
     excluded from the CTC target — the net learns the extraction semantics:
-    read the field value, ignore the chip and its amount."""
+    read the field value, ignore the chip and its amount.
+
+    ``kinds`` (None = all) restricts synthesis to specific field kinds
+    ('numeric', 'name', 'game_id', 'card', 'generic') by rejection — used
+    when training a kind-gated ensemble member (runtime/ocr.py _add_group)."""
+    while True:
+        kind, out = _random_sample_once(rng)
+        if kinds is None or kind in kinds:
+            return out
+
+
+def _random_sample_once(rng) -> Tuple[str, Tuple[str, str]]:
     r = rng.random()
     if r < 0.40:
         amt = random_amount(rng)
@@ -154,18 +165,18 @@ def random_sample(rng) -> Tuple[str, str]:
         if pre < 0.18:
             amt = ("Pot:" if pre < 0.12 else "Pot: ") + amt
         suffix = random_amount(rng) if rng.random() < 0.30 else ""
-        return amt, suffix
+        return "numeric", (amt, suffix)
     if r < 0.65:
-        return random_name(rng), ""
+        return "name", (random_name(rng), "")
     if r < 0.80:
-        return random_game_id(rng), ""
+        return "game_id", (random_game_id(rng), "")
     if r < 0.92:
-        return random_card(rng), ""
+        return "card", (random_card(rng), "")
     # generic word-ish noise
     t = "".join(
         crnn.CHARSET[rng.integers(1, len(crnn.CHARSET))] for _ in range(rng.integers(1, 10))
     ).strip() or "0"
-    return t, ""
+    return "generic", (t, "")
 
 
 _FONT_CACHE: Dict[Tuple[str, int], object] = {}
@@ -297,6 +308,13 @@ class OCRTrainConfig:
     # warm-start from an existing checkpoint (fine-tune) instead of random
     # init — geometry (hidden/width/img_h) must match
     init_from: str = ""
+    # comma-separated field kinds ('numeric,card') to specialise on: filters
+    # BOTH the synthetic pool and the real crops, and is written into the
+    # checkpoint meta so the runtime engine gates the member to those kinds
+    kinds: str = ""
+
+    def kind_set(self) -> Optional[frozenset]:
+        return frozenset(k for k in self.kinds.split(",") if k) or None
 
 
 def _encode_label(t: str, max_label: int):
@@ -314,7 +332,7 @@ def make_batch(rng, cfg: OCRTrainConfig):
     lab_pad = np.ones((cfg.batch, cfg.max_label), np.float32)
     texts = []
     for i in range(cfg.batch):
-        t, suffix = random_sample(rng)
+        t, suffix = random_sample(rng, cfg.kind_set())
         t = t[: cfg.max_label]
         texts.append(t)
         imgs[i, :, :, 0] = render_text(rng, t, cfg.width, suffix, cfg.img_h)
@@ -328,8 +346,9 @@ def build_pool(rng, cfg: OCRTrainConfig, size: int):
     labels = np.zeros((size, cfg.max_label), np.int32)
     lab_pad = np.ones((size, cfg.max_label), np.float32)
     texts = []
+    kinds = cfg.kind_set()
     for i in range(size):
-        t, suffix = random_sample(rng)
+        t, suffix = random_sample(rng, kinds)
         t = t[: cfg.max_label]
         texts.append(t)
         imgs[i, :, :, 0] = render_text(rng, t, cfg.width, suffix, cfg.img_h)
@@ -343,12 +362,15 @@ def load_real_pool(cfg: OCRTrainConfig):
     transcription says so), teaching extraction directly on UI pixels.
     Restricted to cfg.real_splits so the eval sources stay held out."""
     from manual_yolo_tpu.cli.eval_ocr import load_real_crops
-    from manual_yolo_tpu.runtime.ocr import OCREngine
+    from manual_yolo_tpu.runtime.ocr import OCREngine, field_kind
 
+    kinds = cfg.kind_set()
     grays, labels, pads = [], [], []
     for crop, cname, truth in load_real_crops(
         cfg.real_labels, splits=tuple(cfg.real_splits)
     ):
+        if kinds is not None and field_kind(cname) not in kinds:
+            continue
         grays.append(
             crnn.preprocess_gray(
                 OCREngine._to_gray(crop), cfg.width, img_h=cfg.img_h
@@ -553,5 +575,7 @@ def train_ocr(cfg: OCRTrainConfig, log=print) -> Dict[str, float]:
                         "img_h": cfg.img_h, "exact_match": acc, "step": s}
                 if real_acc is not None:
                     meta["real_holdout"] = real_acc
+                if cfg.kinds:
+                    meta["kinds"] = cfg.kinds
                 save_params(cfg.out_path, params, meta=meta)
     return {"best_exact": best_acc, "wall_s": time.time() - t0}

@@ -72,6 +72,22 @@ def test_render_and_roundtrip_labels():
         assert crnn.ids_to_text(ids) == t
 
 
+def test_kind_gated_synthesis():
+    """kinds='numeric' restricts synthesis to amount-shaped labels (used to
+    train the numeric-gated high-res ensemble member)."""
+    from manual_yolo_tpu.train.ocr import OCRTrainConfig, make_batch
+
+    rng = np.random.default_rng(0)
+    cfg = OCRTrainConfig(batch=16, width=192, kinds="numeric")
+    assert cfg.kind_set() == frozenset({"numeric"})
+    _, _, _, texts = make_batch(rng, cfg)
+    # every label must be a poker amount: digits with K/M/L/BB/$/,/. framing
+    allowed = set("0123456789.,$KMLB:Pot ")
+    for t in texts:
+        assert set(t) <= allowed, t
+        assert any(c.isdigit() for c in t), t
+
+
 @pytest.mark.slow
 def test_crnn_overfits_tiny_set():
     """CTC training must drive loss down on a 4-sample fixed set."""
