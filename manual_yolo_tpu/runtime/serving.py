@@ -603,7 +603,7 @@ class BatchStream:
 
         n_nib, n_bias = self._n_nib, self._n_bias
 
-        def detect_nibble(params, payload_u8, prev_flat_u8):
+        def nibble_decode_full(payload_u8, prev_flat_u8):
             # payload = [packed residual nibbles | per-slot-channel bias
             # (mod 256)]. nibble byte i = v[2i] | v[2i+1] << 4,
             # v = (delta - bias + 8) mod 256 in [0, 15]; uint8 wraparound
@@ -617,12 +617,21 @@ class BatchStream:
             v = jnp.stack([lo, hi], axis=-1).reshape(
                 batch, imgsz, imgsz, 3
             )
-            canvases = (
+            return (
                 prev_flat_u8.reshape(batch, imgsz, imgsz, 3)
                 + (v - jnp.uint8(8))
                 + bias
             ).reshape(-1)
-            return detect_core(params, canvases)
+
+        nibble_dec_full = jax.jit(nibble_decode_full)
+
+        def detect_nibble(params, payload_u8, prev_flat_u8):
+            # decode/compute split: the full-canvas nibble path only runs
+            # on geometry changes — chain the small decode into the shared
+            # compute program instead of owning a big fused executable
+            return self._run_compute(
+                params, nibble_dec_full(payload_u8, prev_flat_u8)
+            )
 
         def detect_skip(params, prev_flat_u8):
             return detect_core(params, prev_flat_u8)
@@ -635,11 +644,35 @@ class BatchStream:
             return jax.nn.softmax(logits, axis=-1).reshape(-1)
 
         self._detect_raw = jax.jit(detect_raw)
-        self._detect_nibble = jax.jit(detect_nibble)
+        self._detect_nibble = detect_nibble  # plain chain (decode + compute)
         self._detect_skip = jax.jit(detect_skip)
         self._classify = jax.jit(classify_batch)
         self._detect_core = detect_core
         self._classify_core = classify_batch
+
+        def compute_fused(det_p, cls_p, canvases_flat_u8, crops_flat_u8):
+            packed, dev = detect_core(det_p, canvases_flat_u8)
+            probs = classify_batch(cls_p, crops_flat_u8)
+            return jnp.concatenate([packed, probs]), dev, crops_flat_u8
+
+        # THE one big program: detect + NMS + pack + rank-classify over
+        # resident (already-decoded) planes. Every dispatch mode routes
+        # through it; per-bucket payload DECODE runs as its own small
+        # program immediately before (the decoded plane stays in HBM and
+        # the extra dispatch is free — calls pipeline asynchronously, only
+        # the final value fetch synchronises). This caps the cold-cache
+        # cost at ONE multi-minute XLA compile instead of one ~26 MB
+        # executable per (geometry, payload-bucket) combination — the
+        # round-2/3 driver bench attempts died serially compiling those
+        # through the tunnel before any measurement pass could finish.
+        self._compute_fused = jax.jit(compute_fused)
+        self._nd_flat = batch * max_det * 7
+        nd_flat = self._nd_flat
+        # probs tail of a compute_fused readback (device-side slice)
+        self._probs_tail = jax.jit(lambda flat: flat[nd_flat:])
+        # small decode-program caches (cheap compiles, many keys)
+        self._decode_canvas_progs: Dict[Tuple, object] = {}
+        self._decode_crops_progs: Dict[Tuple, object] = {}
         # crop-plane delta state (worker thread only): previous batch's
         # classifier crops on host (encode reference) and device (decode
         # reference) — the crop upload was half the link bytes once the
@@ -755,8 +788,9 @@ class BatchStream:
                 try:
                     mode = item.pop("mode")
                     if mode == "skip":
-                        fut, dev = self._detect_skip(
-                            self.det_params, self._dev_prev
+                        fut, dev, _ = self._compute_fused(
+                            self.det_params, self.cls_params,
+                            self._dev_prev, self._dev_pred_crops,
                         )
                     elif mode == "nibble":
                         fut, dev = item.pop("nibble_fn")(
@@ -796,8 +830,10 @@ class BatchStream:
                             self.det_params, _jnp.asarray(item.pop("act"))
                         )
                     else:
-                        fut, dev = self._detect_raw(
-                            self.det_params, _jnp.asarray(item.pop("flat"))
+                        fut, dev, _ = self._compute_fused(
+                            self.det_params, self.cls_params,
+                            _jnp.asarray(item.pop("flat")),
+                            self._dev_pred_crops,
                         )
                     if self.delta:
                         self._dev_prev = dev
@@ -901,9 +937,21 @@ class BatchStream:
         self._dispatch_thread = threading.Thread(target=_dispatcher, daemon=True)
         self._dispatch_thread.start()
 
+    def _run_compute(self, det_params, canvases_flat_u8):
+        """Run the shared compute program on a decoded canvas plane.
+        Returns (packed|probs readback, canvas passthrough) — the 2-tuple
+        the non-fused dispatch modes expect."""
+        fut, dev, _ = self._compute_fused(
+            det_params, self.cls_params, canvases_flat_u8,
+            self._dev_pred_crops,
+        )
+        return fut, dev
+
     def _get_active_progs(self, top: int, nh: int):
-        """Lazily build jitted detect programs that take ONLY the content
-        rows ``[top, top+nh)`` and pad the 114 letterbox bars on device."""
+        """Lazily build small jitted DECODE programs that take ONLY the
+        content rows ``[top, top+nh)`` and pad the 114 letterbox bars on
+        device, then chain into the shared compute program (decode/compute
+        split: per-geometry programs stay seconds-cheap to compile)."""
         key = (top, nh)
         if key not in self._active_progs:
             import jax
@@ -912,17 +960,21 @@ class BatchStream:
             B, imgsz = self.B, self.imgsz
             bot = imgsz - top - nh
             n_act = B * nh * imgsz * 3
-            detect_core = self._detect_core
 
-            def raw_active(params, act_flat_u8):
+            def raw_decode(act_flat_u8):
                 act = act_flat_u8.reshape(B, nh, imgsz, 3)
                 canv = jnp.pad(
                     act, ((0, 0), (top, bot), (0, 0), (0, 0)),
                     constant_values=np.uint8(114),
                 )
-                return detect_core(params, canv.reshape(-1))
+                return canv.reshape(-1)
 
-            def nibble_active(params, payload_u8, prev_flat_u8):
+            raw_dec = jax.jit(raw_decode)
+
+            def raw_active(params, act_flat_u8):
+                return self._run_compute(params, raw_dec(act_flat_u8))
+
+            def nibble_decode(payload_u8, prev_flat_u8):
                 nib = payload_u8[: n_act // 2]
                 bias = payload_u8[n_act // 2 :].reshape(B, 1, 1, 3)
                 lo = jnp.bitwise_and(nib, jnp.uint8(0xF))
@@ -930,12 +982,18 @@ class BatchStream:
                 v = jnp.stack([lo, hi], axis=-1).reshape(B, nh, imgsz, 3)
                 resid = (v - jnp.uint8(8)) + bias  # uint8 wraparound
                 resid_full = jnp.pad(resid, ((0, 0), (top, bot), (0, 0), (0, 0)))
-                canvases = (
+                return (
                     prev_flat_u8.reshape(B, imgsz, imgsz, 3) + resid_full
                 ).reshape(-1)
-                return detect_core(params, canvases)
 
-            def tribit_active(params, payload_u8, prev_flat_u8):
+            nibble_dec = jax.jit(nibble_decode)
+
+            def nibble_active(params, payload_u8, prev_flat_u8):
+                return self._run_compute(
+                    params, nibble_dec(payload_u8, prev_flat_u8)
+                )
+
+            def tribit_decode(payload_u8, prev_flat_u8):
                 # 8 3-bit values per 3 bytes (little-endian across bytes,
                 # mirror of native tribit_encode), per-ROW biases
                 nb = n_act * 3 // 8
@@ -964,15 +1022,21 @@ class BatchStream:
                 bias = payload_u8[nb:].reshape(B, nh, 1, 3)
                 resid = (v - u(4)) + bias  # uint8 wraparound
                 resid_full = jnp.pad(resid, ((0, 0), (top, bot), (0, 0), (0, 0)))
-                canvases = (
+                return (
                     prev_flat_u8.reshape(B, imgsz, imgsz, 3) + resid_full
                 ).reshape(-1)
-                return detect_core(params, canvases)
+
+            tribit_dec = jax.jit(tribit_decode)
+
+            def tribit_active(params, payload_u8, prev_flat_u8):
+                return self._run_compute(
+                    params, tribit_dec(payload_u8, prev_flat_u8)
+                )
 
             self._active_progs[key] = {
-                "raw": jax.jit(raw_active),
-                "nibble": jax.jit(nibble_active),
-                "tribit": jax.jit(tribit_active),
+                "raw": raw_active,
+                "nibble": nibble_active,
+                "tribit": tribit_active,
             }
         return self._active_progs[key]
 
@@ -988,9 +1052,8 @@ class BatchStream:
 
             B, imgsz = self.B, self.imgsz
             bot = imgsz - top - nh
-            detect_core = self._detect_core
 
-            def slots_active(params, payload_u8, g_i32, mask_b, prev_flat_u8):
+            def slots_decode(payload_u8, g_i32, mask_b, prev_flat_u8):
                 act = payload_u8.reshape(kp, nh, imgsz, 3)
                 upd = jnp.pad(
                     act, ((0, 0), (top, bot), (0, 0), (0, 0)),
@@ -998,39 +1061,86 @@ class BatchStream:
                 )
                 gathered = upd[g_i32]  # (B, imgsz, imgsz, 3)
                 prev = prev_flat_u8.reshape(B, imgsz, imgsz, 3)
-                canvases = jnp.where(
+                return jnp.where(
                     mask_b[:, None, None, None], gathered, prev
                 ).reshape(-1)
-                return detect_core(params, canvases)
 
-            self._slots_progs[key] = jax.jit(slots_active)
+            slots_dec = jax.jit(slots_decode)
+
+            def slots_active(params, payload_u8, g_i32, mask_b, prev_flat_u8):
+                return self._run_compute(
+                    params, slots_dec(payload_u8, g_i32, mask_b, prev_flat_u8)
+                )
+
+            self._slots_progs[key] = slots_active
         return self._slots_progs[key]
 
-    def _get_segs_prog(self, top: int, nh: int, np_bucket: int):
-        """Canvas-plane segs program: shared decoder (_segs_decoder) fused
-        into the detect program, one compile per (geometry, size bucket)."""
-        key = (top, nh, np_bucket)
-        if key not in self._segs_progs:
+    def _get_decode_canvas(self, top: int, nh: int, np_bucket: int,
+                           ctotal: int):
+        """Small jitted canvas-segs decode: full payload in (the canvas
+        section is the leading ``ctotal`` bytes), decoded canvas plane out.
+        One cheap compile per (geometry, bucket); shape-specialises per
+        total payload length (also cheap)."""
+        key = (top, nh, np_bucket, ctotal)
+        if key not in self._decode_canvas_progs:
             import jax
 
             decode = _segs_decoder(
                 self.B, self.imgsz, self.imgsz, top, nh, self._segw,
                 np_bucket,
             )
-            detect_core = self._detect_core
+            self._decode_canvas_progs[key] = jax.jit(
+                lambda payload, prev: decode(payload[:ctotal], prev)
+            )
+        return self._decode_canvas_progs[key]
+
+    def _get_decode_crops(self, np_bucket: int, ctotal: int):
+        """Small jitted crop-plane decode: full payload in (crop section
+        starts at ``ctotal``; np_bucket < 0 means the crop plane rides raw
+        and the decode is a plain slice), decoded crop plane out."""
+        key = (np_bucket, ctotal)
+        if key not in self._decode_crops_progs:
+            import jax
+
+            ns = self.B * self.max_rank
+            if np_bucket >= 0:
+                decode = _segs_decoder(ns, 64, 64, 0, 64, 64, np_bucket)
+                fn = jax.jit(
+                    lambda payload, prevk: decode(payload[ctotal:], prevk)
+                )
+            else:
+                nk = ns * 64 * 64 * 3
+                fn = jax.jit(
+                    lambda payload, prevk: payload[ctotal : ctotal + nk]
+                )
+            self._decode_crops_progs[key] = fn
+        return self._decode_crops_progs[key]
+
+    def _get_segs_prog(self, top: int, nh: int, np_bucket: int):
+        """Canvas-plane segs step: small decode program chained into the
+        shared compute program (decode/compute split — see
+        ``_compute_fused``)."""
+        key = (top, nh, np_bucket)
+        if key not in self._segs_progs:
 
             def segs_active(params, payload_u8, prev_flat_u8):
-                return detect_core(params, decode(payload_u8, prev_flat_u8))
+                dec = self._get_decode_canvas(
+                    top, nh, np_bucket, int(payload_u8.shape[0])
+                )
+                return self._run_compute(
+                    params, dec(payload_u8, prev_flat_u8)
+                )
 
-            self._segs_progs[key] = jax.jit(segs_active)
+            self._segs_progs[key] = segs_active
         return self._segs_progs[key]
 
     def _get_classify_segs_prog(self, np_bucket: int):
-        """Crop-plane segs program: decode the crop delta against the
-        device-resident previous crops, classify, and return BOTH the
-        probabilities and the decoded crop plane (the next batch's delta
-        reference). Saves the 3.1 MB/batch crop upload — after the canvas
-        delta work that upload had become HALF the link bytes."""
+        """Crop-plane segs step: decode the crop delta against the
+        device-resident previous crops (small program), classify via the
+        shared compute program, and return BOTH the probabilities and the
+        decoded crop plane (the next batch's delta reference). Saves the
+        3.1 MB/batch crop upload — after the canvas delta work that upload
+        had become HALF the link bytes."""
         key = np_bucket
         if key not in self._classify_segs_progs:
             import jax
@@ -1038,14 +1148,28 @@ class BatchStream:
             decode = _segs_decoder(
                 self.B * self.max_rank, 64, 64, 0, 64, 64, np_bucket
             )
-            classify_core = self._classify_core
+            dec = jax.jit(decode)
 
             def classify_segs(params, payload_u8, prev_flat_u8):
-                cur = decode(payload_u8, prev_flat_u8)
-                return classify_core(params, cur), cur
+                cur = dec(payload_u8, prev_flat_u8)
+                probs, cur_out = self._classify_via_compute(params, cur)
+                return probs, cur_out
 
-            self._classify_segs_progs[key] = jax.jit(classify_segs)
+            self._classify_segs_progs[key] = classify_segs
         return self._classify_segs_progs[key]
+
+    def _classify_via_compute(self, cls_params, crops_flat_dev):
+        """Classify a crop plane WITHOUT a dedicated classifier program:
+        ride the shared compute program against the resident canvas. The
+        redundant detect costs ~0.7 ms/frame of device time on paths that
+        only run at bootstrap / geometry changes — on a cold compile cache
+        this keeps every classify fallback from costing its own
+        multi-minute XLA compile. Returns (probs readback, crop plane
+        passthrough)."""
+        flat, _, crops_out = self._compute_fused(
+            self.det_params, cls_params, self._dev_prev, crops_flat_dev
+        )
+        return self._probs_tail(flat), crops_out
 
     def _get_classify_small(self, ns: int):
         """Cached classify program over ``ns`` crops (power-of-2 bucket).
@@ -1070,46 +1194,37 @@ class BatchStream:
         return self._classify_small_progs[ns]
 
     def _get_fused_prog(self, top: int, nh: int, npc: int, npk: int):
-        """One program for the whole batch step: canvas segs decode ->
-        detect -> crop-plane decode (segs bucket ``npk``, or the raw plane
-        when ``npk < 0``) -> classify. Returns ONE flat f32 readback
+        """One dispatch chain for the whole batch step: canvas segs decode
+        (small per-bucket program) -> crop-plane decode (segs bucket
+        ``npk``, or a raw-slice program when ``npk < 0``) -> the shared
+        compute program (detect + classify). Returns ONE flat f32 readback
         (packed detections | rank probabilities) plus the two decoded
         planes that become the next batch's delta references. Steady state
-        is one device_put and one fetch per batch — each crossing of the
-        tunnel pays a fixed ~60 ms stall, so halving the crossings matters
-        as much as the bytes."""
+        is still one device_put and one fetch per batch — the chained
+        dispatches pipeline asynchronously and only the fetch pays the
+        tunnel's ~60 ms crossing stall — but a new payload bucket now
+        costs a seconds-cheap decode compile instead of re-compiling the
+        whole ~26 MB detect+classify executable."""
         key = (top, nh, npc, npk)
         if key not in self._fused_progs:
-            import jax
-            import jax.numpy as jnp
-
-            decode_canvas = _segs_decoder(
-                self.B, self.imgsz, self.imgsz, top, nh, self._segw, npc
-            )
             nseg_c = self.B * nh * (self.imgsz // self._segw)
             ctotal = (
                 npc + self.B * 3 + (nseg_c + 7) // 8 + (nseg_c + 1) // 2
             )
-            ns = self.B * self.max_rank
-            if npk >= 0:
-                decode_crops = _segs_decoder(ns, 64, 64, 0, 64, 64, npk)
-            else:
-                decode_crops = None
-            detect_core = self._detect_core
-            classify_core = self._classify_core
 
             def fused(det_params, cls_params, payload_u8, prev_flat_u8,
                       prev_crops_u8):
-                canv = decode_canvas(payload_u8[:ctotal], prev_flat_u8)
-                packed, dev_canv = detect_core(det_params, canv)
-                if decode_crops is not None:
-                    crops = decode_crops(payload_u8[ctotal:], prev_crops_u8)
-                else:
-                    crops = payload_u8[ctotal : ctotal + ns * 64 * 64 * 3]
-                probs = classify_core(cls_params, crops)
-                return jnp.concatenate([packed, probs]), dev_canv, crops
+                canv = self._get_decode_canvas(top, nh, npc, ctotal)(
+                    payload_u8, prev_flat_u8
+                )
+                crops = self._get_decode_crops(npk, ctotal)(
+                    payload_u8, prev_crops_u8
+                )
+                return self._compute_fused(
+                    det_params, cls_params, canv, crops
+                )
 
-            self._fused_progs[key] = jax.jit(fused)
+            self._fused_progs[key] = fused
         return self._fused_progs[key]
 
     @staticmethod
@@ -1722,7 +1837,11 @@ class BatchStream:
         applies them, hiding the round trip like the fused path's miss
         fallback). Returns (results, probs_future, rows, pairs)."""
         t0 = time.perf_counter()
-        packed = np.asarray(fut).reshape(self.B, self.max_det, 7)
+        # every mode returns packed|probs from the shared compute program;
+        # the probs tail here came from stale/zero crops — sliced off
+        packed = np.asarray(fut)[: self._nd_flat].reshape(
+            self.B, self.max_det, 7
+        )
         t1 = time.perf_counter()
         self.stage_stats["fetch_wait"].append(t1 - t0)
         results, all_cands = self._assemble_dets(frames, metas, packed)
@@ -1787,19 +1906,23 @@ class BatchStream:
             self.fallback_batches += 1
             import jax.numpy as jnp
 
-            # smallest power-of-2 crop bucket covering the misses: the
-            # fallback round trip's cost is dominated by upload bytes on
-            # the weak link, and misses are usually a handful per batch
-            ns = 8
-            while ns < len(miss_refs):
-                ns *= 2
-            # miss_crops has exactly B*max_rank rows (len(miss_refs) is
-            # capped to that above) — the power-of-2 bucket must not
-            # overshoot it or the reshape below crashes
-            ns = min(ns, self.B * self.max_rank)
-            probs_fut = self._get_classify_small(ns)(
-                self.cls_params, jnp.asarray(miss_crops[:ns].reshape(-1))
-            )
+            if len(miss_refs) <= 8:
+                # steady-state misses are a handful per batch: a small
+                # 8-crop bucket keeps the fallback upload tiny on the weak
+                # link (and its program is a seconds-cheap compile)
+                ns = 8
+                probs_fut = self._get_classify_small(ns)(
+                    self.cls_params, jnp.asarray(miss_crops[:ns].reshape(-1))
+                )
+            else:
+                # bootstrap / churn floods (every rect new): ride the
+                # shared compute program with the full miss plane — the
+                # ~6 MB upload only happens on warmup-grade batches and
+                # avoids a per-bucket classifier compile on a cold cache
+                ns = self.B * self.max_rank
+                probs_fut, _ = self._classify_via_compute(
+                    self.cls_params, jnp.asarray(miss_crops.reshape(-1))
+                )
         self._publish_pred_rects(all_cands)
         self.stage_stats["finish_tail"].append(time.perf_counter() - t1)
         return results, probs_fut, ns, list(enumerate(miss_refs))
@@ -1838,7 +1961,10 @@ class BatchStream:
         if self.delta and self._prev_crops is not None:
             if native.arrays_equal(crops, self._prev_crops):
                 self.crop_mode_counts["skip"] += 1
-                return self._classify(self.cls_params, self._dev_prev_crops)
+                probs, _ = self._classify_via_compute(
+                    self.cls_params, self._dev_prev_crops
+                )
+                return probs
             enc = self._encode_crop_segs(crops)
             if enc is not None:
                 payload, npb = enc
@@ -1852,8 +1978,9 @@ class BatchStream:
                 self._prev_crops = crops
                 return probs
         self.crop_mode_counts["raw"] += 1
-        dev_crops = jnp.asarray(flat)
-        probs = self._classify(self.cls_params, dev_crops)
+        probs, dev_crops = self._classify_via_compute(
+            self.cls_params, jnp.asarray(flat)
+        )
         if self.delta:
             self._dev_prev_crops = dev_crops
             self._prev_crops = crops
