@@ -536,6 +536,10 @@ def run_measurement():
         "batch": BATCH,
         "stream_repaints": getattr(make_frames, "stats", None),
         "field_ocr": False,
+        # True until a phase-"full" pass lands: a consumer that only reads
+        # `value` must not mistake the 4-batch no-OCR early line for the
+        # full-pipeline figure (advisor r3)
+        "provisional": True,
     }
 
     def emit(fps, **extra):
@@ -597,6 +601,7 @@ def run_measurement():
         emit(
             float(np.median(passes)),
             phase="full",
+            provisional=False,
             field_ocr=field_ocr is not None,
             passes=[round(p, 2) for p in passes],
             batch_latency_ms_p50=lat_ms,
@@ -628,9 +633,16 @@ def main():
     measurement runs in a subprocess with a per-attempt deadline
     (ATTEMPT_TIMEOUT, default 420 s — two attempts fit well inside the
     driver's budget). The child's stdout is streamed live and every JSON
-    line is kept: on success the LAST (richest) line is printed; on a hang
-    the child is killed and the last line seen still reports the
-    already-measured number. Only a hang before pass 1 costs an attempt."""
+    line is kept.
+
+    Attempt policy (round-4 fix — r03 lost the round by returning on
+    attempt 1's provisional line): an attempt that only produced a
+    PROVISIONAL line (the 4-batch early emission, or a kill mid-pass-1)
+    does not end the run — its compiles populated the persistent cache
+    (measured cross-process warm in tools/cache_probe.py), so attempt 2
+    starts warm and reaches phase "full" well inside its own deadline. The
+    final print prefers the last NON-provisional line over any provisional
+    one."""
     import subprocess
     import sys
     import threading
@@ -639,7 +651,8 @@ def main():
         run_measurement()
         return
     env = dict(os.environ, BENCH_INNER="1")
-    last_json: list = []
+    full_json: list = []  # phase-"full" (non-provisional) lines
+    prov_json: list = []  # provisional early lines
     for attempt in range(2):
         proc = subprocess.Popen(
             [sys.executable, "-u", os.path.abspath(__file__)],
@@ -651,7 +664,11 @@ def main():
             for ln in pipe:
                 ln = ln.rstrip("\n")
                 if ln.startswith("{") and ln.endswith("}"):
-                    last_json.append(ln)
+                    try:
+                        prov = json.loads(ln).get("provisional", False)
+                    except ValueError:
+                        prov = True
+                    (prov_json if prov else full_json).append(ln)
                 else:
                     print(ln, file=sys.stderr, flush=True)
 
@@ -665,11 +682,18 @@ def main():
             proc.kill()
             proc.wait()
         rt.join(timeout=10)
-        if last_json:
-            print(last_json[-1], flush=True)
+        if full_json:
+            print(full_json[-1], flush=True)
             return
-        print(f"bench attempt {attempt + 1} rc={proc.returncode}, "
-              f"no JSON line", file=sys.stderr, flush=True)
+        print(
+            f"bench attempt {attempt + 1} rc={proc.returncode}: "
+            + ("provisional line only — persistent cache now warm, "
+               "retrying" if prov_json else "no JSON line"),
+            file=sys.stderr, flush=True,
+        )
+    if prov_json:
+        print(prov_json[-1], flush=True)
+        return
     raise SystemExit(1)
 
 

@@ -53,6 +53,10 @@ def main(argv=None) -> int:
                     help="print per-stage timing stats on exit")
     ap.add_argument("--no-embedder", action="store_true",
                     help="disable the appearance embedder (motion+IoU only)")
+    ap.add_argument("--embedder-weights", default=cfg.track.embedder_weights,
+                    help="appearance-embedder npz (default: auto — "
+                         "weights/reid_embedder.npz when present, else the "
+                         "rank-classifier backbone)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -90,7 +94,8 @@ def main(argv=None) -> int:
             max_cosine_distance=cfg.pipe.deepsort_max_cosine_distance,
             nn_budget=cfg.pipe.deepsort_nn_budget,
             # deep-sort-realtime embeds by default (pipe.py:161-162)
-            embedder=None if args.no_embedder else _load_embedder(cfg.rank.weights),
+            embedder=None if args.no_embedder
+            else _load_embedder(args.embedder_weights),
         ),
     )
     source = make_source(args.source)

@@ -70,6 +70,21 @@ class PipeConfig:
 
 
 @dataclass
+class TrackConfig:
+    """Appearance-embedder selection for DeepSORT-style tracking.
+
+    The reference's deep-sort-realtime ships a purpose-trained appearance
+    net (pipe.py:48-51, default ``embedder='mobilenet'``); ours is the
+    metric-learned re-id checkpoint from ``train/embedder.py``. Kept
+    SEPARATE from ``rank.weights`` so selecting the re-id embedder cannot
+    also swap the rank classifier (advisor r3, medium)."""
+
+    # empty -> auto: weights/reid_embedder.npz when present, else fall back
+    # to the rank-classifier backbone features
+    embedder_weights: str = ""
+
+
+@dataclass
 class LiveConfig:
     """Live detect loop knobs (reference detect.py:12-56)."""
 
@@ -94,6 +109,7 @@ class AppConfig:
     rank: RankClassifierConfig = field(default_factory=RankClassifierConfig)
     ocr: OCRConfig = field(default_factory=OCRConfig)
     pipe: PipeConfig = field(default_factory=PipeConfig)
+    track: TrackConfig = field(default_factory=TrackConfig)
     live: LiveConfig = field(default_factory=LiveConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
 

@@ -90,11 +90,19 @@ class AppearanceEmbedder:
         return out[:n]
 
 
-def default_embedder(
-    weights: str = "weights/rank_classifier_matched.npz",
-) -> Optional[AppearanceEmbedder]:
+REID_WEIGHTS = "weights/reid_embedder.npz"
+FALLBACK_WEIGHTS = "weights/rank_classifier_matched.npz"
+
+
+def default_embedder(weights: str = "") -> Optional[AppearanceEmbedder]:
+    """Resolve the tracking embedder (cfg.track.embedder_weights).
+
+    Empty ``weights`` selects the purpose-trained re-id checkpoint
+    (``train/embedder.py``) when shipped, else falls back to the
+    rank-classifier backbone features — the round-1/2 stand-in."""
     import os
 
-    if not os.path.exists(weights):
-        return None
-    return AppearanceEmbedder.from_npz(weights)
+    for cand in ([weights] if weights else [REID_WEIGHTS, FALLBACK_WEIGHTS]):
+        if cand and os.path.exists(cand):
+            return AppearanceEmbedder.from_npz(cand)
+    return None

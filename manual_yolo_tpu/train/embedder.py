@@ -308,8 +308,21 @@ def train_embedder(cfg: ReidTrainConfig, log=print) -> Dict[str, float]:
     )
     log(f"pre-train verification: {base}")
 
+    def _score(m: Dict[str, float]) -> float:
+        # NaN-safe checkpoint score (NaN >= x is False, which would
+        # silently skip every save): prefer the hard same-class AUC, fall
+        # back to all-pairs when no same-class negative pair was sampled
+        for k in ("auc_same_class", "auc_all"):
+            v = m.get(k, float("nan"))
+            if v == v:
+                return float(v)
+        return 0.0
+
     t0 = time.time()
     best = dict(base)
+    # seed the save threshold BELOW any real score: the best TRAINED epoch
+    # is always checkpointed, even when it never beats the warm-start AUC
+    best_score = -float("inf")
     for epoch in range(cfg.epochs):
         perm = rng.permutation(len(w_train))
         ep_loss, nst = 0.0, 0
@@ -335,7 +348,8 @@ def train_embedder(cfg: ReidTrainConfig, log=print) -> Dict[str, float]:
         log(f"epoch {epoch + 1}/{cfg.epochs} loss {ep_loss / max(nst, 1):.4f} "
             f"auc_all {m['auc_all']:.4f} auc_same_class "
             f"{m['auc_same_class']:.4f} ({time.time() - t0:.0f}s)")
-        if m["auc_same_class"] >= best.get("auc_same_class", -1.0):
+        if _score(m) >= best_score:
+            best_score = _score(m)
             best = dict(m)
             os.makedirs(os.path.dirname(cfg.out_path) or ".", exist_ok=True)
             save_params(
