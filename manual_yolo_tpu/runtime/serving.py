@@ -679,6 +679,9 @@ class BatchStream:
         # canvas went per-segment
         self._prev_crops: Optional[np.ndarray] = None
         self._dev_prev_crops = None
+        # probs device array of the last _classify_crops call (worker
+        # thread only): reused verbatim on crop-skip batches
+        self._dev_last_cls_probs = None
         self._crop_segs_bufs: Optional[Dict] = None
         # crop-rect hysteresis: class_id -> recent crop rects (finisher
         # thread only); see _stable_rect
@@ -885,6 +888,7 @@ class BatchStream:
                     # the crop-plane chain is worker-owned and may have been
                     # half-updated — force the next classify to ride raw
                     self._prev_crops = None
+                    self._dev_last_cls_probs = None
                     item["err"] = e
                     item["evt"].set()
                     continue
@@ -1137,10 +1141,13 @@ class BatchStream:
     def _get_classify_segs_prog(self, np_bucket: int):
         """Crop-plane segs step: decode the crop delta against the
         device-resident previous crops (small program), classify via the
-        shared compute program, and return BOTH the probabilities and the
-        decoded crop plane (the next batch's delta reference). Saves the
-        3.1 MB/batch crop upload — after the canvas delta work that upload
-        had become HALF the link bytes."""
+        STANDALONE classifier program, and return BOTH the probabilities
+        and the decoded crop plane (the next batch's delta reference).
+        Saves the 3.1 MB/batch crop upload — after the canvas delta work
+        that upload had become HALF the link bytes. (Round 4: this used to
+        ride the shared compute program, re-running the full detect graph
+        on the resident canvas just to reach the classify — ~2x detect
+        device time on every non-fused batch; advisor r3.)"""
         key = np_bucket
         if key not in self._classify_segs_progs:
             import jax
@@ -1152,24 +1159,10 @@ class BatchStream:
 
             def classify_segs(params, payload_u8, prev_flat_u8):
                 cur = dec(payload_u8, prev_flat_u8)
-                probs, cur_out = self._classify_via_compute(params, cur)
-                return probs, cur_out
+                return self._classify(params, cur), cur
 
             self._classify_segs_progs[key] = classify_segs
         return self._classify_segs_progs[key]
-
-    def _classify_via_compute(self, cls_params, crops_flat_dev):
-        """Classify a crop plane WITHOUT a dedicated classifier program:
-        ride the shared compute program against the resident canvas. The
-        redundant detect costs ~0.7 ms/frame of device time on paths that
-        only run at bootstrap / geometry changes — on a cold compile cache
-        this keeps every classify fallback from costing its own
-        multi-minute XLA compile. Returns (probs readback, crop plane
-        passthrough)."""
-        flat, _, crops_out = self._compute_fused(
-            self.det_params, cls_params, self._dev_prev, crops_flat_dev
-        )
-        return self._probs_tail(flat), crops_out
 
     def _get_classify_small(self, ns: int):
         """Cached classify program over ``ns`` crops (power-of-2 bucket).
@@ -1906,21 +1899,22 @@ class BatchStream:
             self.fallback_batches += 1
             import jax.numpy as jnp
 
-            if len(miss_refs) <= 8:
-                # steady-state misses are a handful per batch: a small
-                # 8-crop bucket keeps the fallback upload tiny on the weak
-                # link (and its program is a seconds-cheap compile)
-                ns = 8
+            if len(miss_refs) <= 32:
+                # steady-state misses are a handful per batch; moderate
+                # churn lands in the tens. Power-of-2 buckets (8, 32) keep
+                # the fallback upload tiny on the weak link — 9+ misses
+                # previously fell straight to the full ~6 MB plane
+                # (100-400 ms on a 16-70 MB/s link; advisor r3)
+                ns = 8 if len(miss_refs) <= 8 else 32
                 probs_fut = self._get_classify_small(ns)(
                     self.cls_params, jnp.asarray(miss_crops[:ns].reshape(-1))
                 )
             else:
-                # bootstrap / churn floods (every rect new): ride the
-                # shared compute program with the full miss plane — the
-                # ~6 MB upload only happens on warmup-grade batches and
-                # avoids a per-bucket classifier compile on a cold cache
+                # bootstrap / churn floods (every rect new): classify the
+                # full miss plane with the standalone program — the ~6 MB
+                # upload only happens on warmup-grade batches
                 ns = self.B * self.max_rank
-                probs_fut, _ = self._classify_via_compute(
+                probs_fut = self._classify(
                     self.cls_params, jnp.asarray(miss_crops.reshape(-1))
                 )
         self._publish_pred_rects(all_cands)
@@ -1961,9 +1955,14 @@ class BatchStream:
         if self.delta and self._prev_crops is not None:
             if native.arrays_equal(crops, self._prev_crops):
                 self.crop_mode_counts["skip"] += 1
-                probs, _ = self._classify_via_compute(
-                    self.cls_params, self._dev_prev_crops
-                )
+                # byte-identical crops + fixed params -> identical probs:
+                # reuse the previous classify's device array outright
+                # (worker thread is the only caller, so the cached ref
+                # always corresponds to _prev_crops)
+                if self._dev_last_cls_probs is not None:
+                    return self._dev_last_cls_probs
+                probs = self._classify(self.cls_params, self._dev_prev_crops)
+                self._dev_last_cls_probs = probs
                 return probs
             enc = self._encode_crop_segs(crops)
             if enc is not None:
@@ -1976,14 +1975,15 @@ class BatchStream:
                 # crops is freshly allocated per batch and never mutated
                 # after classification -> safe to keep by reference
                 self._prev_crops = crops
+                self._dev_last_cls_probs = probs
                 return probs
         self.crop_mode_counts["raw"] += 1
-        probs, dev_crops = self._classify_via_compute(
-            self.cls_params, jnp.asarray(flat)
-        )
+        dev_crops = jnp.asarray(flat)
+        probs = self._classify(self.cls_params, dev_crops)
         if self.delta:
             self._dev_prev_crops = dev_crops
             self._prev_crops = crops
+            self._dev_last_cls_probs = probs
         return probs
 
     def stage_summary(self, skip: int = 0) -> Dict[str, Dict[str, float]]:

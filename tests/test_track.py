@@ -148,3 +148,50 @@ def test_deepsort_appearance_resolves_iou_ambiguity():
     # appearance: identity follows the texture, not the nearest box
     got, id_a, id_b = run(DeepSortTracker(embedder=emb), use_frame=True)
     assert got == id_a
+
+
+def test_reid_embedder_beats_classifier_features_on_same_class_pairs():
+    """A/B: the purpose-trained re-id embedder (train/embedder.py, NT-Xent
+    over tracker-realistic views) must separate same-class instance pairs
+    (two villain name plates, two stacks — DeepSORT's hard case,
+    reference pipe.py:48-51) better than the round-1/2 stand-in
+    (rank-classifier backbone features)."""
+    import os
+
+    from manual_yolo_tpu.runtime.embedder import AppearanceEmbedder
+    from manual_yolo_tpu.train.embedder import (
+        extract_instances,
+        sample_views,
+        verification_auc,
+    )
+    from manual_yolo_tpu.train.data import load_yolo_split
+
+    reid_w = "weights/reid_embedder.npz"
+    fallback_w = "weights/rank_classifier_scratch.npz"
+    data_root = "/root/reference/roadmap1.v3i.yolov8"
+    if not (os.path.exists(reid_w) and os.path.isdir(data_root)):
+        pytest.skip("re-id weights or reference dataset not available")
+
+    samples = load_yolo_split(data_root, "valid")[:6]
+    windows, classes = extract_instances(samples, imgsz=64)
+
+    def auc(weights_path):
+        emb = AppearanceEmbedder.from_npz(weights_path)
+
+        def fn(views):
+            # views are float RGB [0,1]; AppearanceEmbedder takes BGR u8
+            crops = [
+                (v[..., ::-1] * 255).astype(np.uint8) for v in views
+            ]
+            return emb(crops)
+
+        return verification_auc(
+            fn, windows, classes, 64, np.random.default_rng(7)
+        )
+
+    m_reid = auc(reid_w)
+    m_fall = auc(fallback_w)
+    assert m_reid["auc_same_class"] > m_fall["auc_same_class"], (
+        f"re-id {m_reid} not better than fallback {m_fall}"
+    )
+    assert m_reid["auc_all"] > 0.9

@@ -43,6 +43,24 @@ def main():
     while stream.in_flight:
         done += len(stream.collect_batch())
     wall = time.perf_counter() - t0
+    def _mb(key):
+        v = sorted(stream.stage_stats.get(key, []))
+        return {
+            "p50": round(v[len(v) // 2], 2), "max": round(v[-1], 2),
+            "n": len(v),
+        } if v else None
+
+    segc = stream.stage_stats.get("canvas_seg_counts", [])
+    seg_split = None
+    if segc:
+        tot = [sum(c[i] for c in segc) for i in range(len(segc[0]))]
+        nseg = tot[0]
+        seg_split = {
+            "segments": nseg // len(segc),
+            "k2bit": round(tot[1] / nseg, 4), "k3bit": round(tot[2] / nseg, 4),
+            "kraw": round(tot[3] / nseg, 4),
+            "const_or_shift": round(1 - (tot[1] + tot[2] + tot[3]) / nseg, 4),
+        } if len(tot) >= 4 else {"raw_counts": tot}
     print(json.dumps({
         "fps": round(done / wall, 1),
         "batch_period_ms": round(1e3 * wall / n, 1),
@@ -52,6 +70,10 @@ def main():
         "fused_hits": stream.fused_hits - h0,
         "fused_misses": stream.fused_misses - m0,
         "fallback_batches": stream.fallback_batches - fb0,
+        "payload_mb": _mb("payload_mb"),
+        "canvas_mb": _mb("canvas_mb"),
+        "crops_mb": _mb("crops_mb"),
+        "canvas_seg_split": seg_split,
     }, indent=1))
 
 
