@@ -321,14 +321,31 @@ def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
         - np.take_along_axis(pc.astype(np.int16), idx[:, None, :], 1)
     )[:, 0, :]
     jvalid = has.all(axis=1) & (np.abs(jj) <= 63).all(axis=1)  # (B,)
+    nseg_tot = B * nh * seg
+    jv_seg = np.repeat(jvalid, nh * seg)
     if jvalid.any():
         pred = np.clip(pc.astype(np.int16) + jj[:, None, :], 0, 255)
         sok_raw = (
-            (cc == pred).reshape(B * nh * seg, segw * 3).all(axis=1)
-            & np.repeat(jvalid, nh * seg)
+            (cc == pred).reshape(nseg_tot, segw * 3).all(axis=1) & jv_seg
         )
+        # shift-residual classes 6/7: e = cur - clamp(prev + j), one-sided
+        # per channel (the clip-boundary case class 5 cannot absorb)
+        e = (cc.astype(np.int16) - pred).reshape(nseg_tot, segw, 3)
+        emx = e.max(axis=1)  # (nseg, 3)
+        emn = e.min(axis=1)
+
+        def _fits(lim):
+            pos = (emn >= 0) & (emx <= lim)
+            neg = (emx <= 0) & (emn >= -lim)
+            return ((pos | neg).all(axis=1) & jv_seg), (neg & ~pos)
+
+        fit6, m6 = _fits(3)
+        fit7, m7 = _fits(7)
     else:  # no slot has a shift candidate: skip the full-plane compare
-        sok_raw = np.zeros(B * nh * seg, bool)
+        sok_raw = np.zeros(nseg_tot, bool)
+        e = None
+        fit6 = fit7 = np.zeros(nseg_tot, bool)
+        m6 = m7 = np.zeros((nseg_tot, 3), bool)
     sok = sok_raw & (span != 0)
     # whole-slot clamp-shift (native fast path): every segment of the
     # slot classifies 5, including span-0 ones (identical bytes either
@@ -338,25 +355,30 @@ def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
         nh * seg,
     )
     cls = np.select(
-        [slot_ok, span == 0, sok, span <= 1, span <= 3, span <= 7],
-        [5, 0, 5, 1, 2, 3], 4,
+        [slot_ok, span == 0, sok, span <= 1, span <= 3, fit6, span <= 7,
+         fit7],
+        [5, 0, 5, 1, 2, 6, 3, 7], 4,
     )
     out_cls[: cls.size] = cls.astype(np.uint8)
     # biases: const -> the delta itself; clamp-shift -> j; 1/2/3-bit ->
-    # clipped toward 0; raw -> 0
+    # clipped toward 0; shift-residual -> ((j+64) & 0x7F) | m<<7; raw -> 0
     b1 = np.minimum(np.maximum(0, dmx - 1), dmn)
     b2 = np.minimum(np.maximum(0, dmx - 1), dmn + 2)
     b3 = np.minimum(np.maximum(0, dmx - 3), dmn + 4)
     jseg = np.repeat(jj, nh * seg, axis=0)
+    m67 = np.where((cls == 6)[:, None], m6, m7)
+    b67 = ((jseg + 64) & 0x7F) | (m67.astype(np.int16) << 7)
     bias = np.select(
         [cls[:, None] == 0, cls[:, None] == 5, cls[:, None] == 1,
-         cls[:, None] == 2, cls[:, None] == 3],
-        [dmn, jseg, b1, b2, b3], 0,
+         cls[:, None] == 2, cls[:, None] == 3,
+         (cls[:, None] == 6) | (cls[:, None] == 7)],
+        [dmn, jseg, b1, b2, b3, b67], 0,
     ).astype(np.int16)
     out_bias[: cls.size * 3] = (bias.reshape(-1) % 256).astype(np.uint8)
     vflat = ds - bias[:, None, :]  # residuals per segment
-    m1, m2, m3, m4 = cls == 1, cls == 2, cls == 3, cls == 4
-    k1, k2, k3, kr = (int(m.sum()) for m in (m1, m2, m3, m4))
+    m1 = cls == 1
+    m2blk, m3blk, m4 = (cls == 2) | (cls == 6), (cls == 3) | (cls == 7), cls == 4
+    k1, k2, k3, kr = (int(m.sum()) for m in (m1, m2blk, m3blk, m4))
     if k1:
         v = (vflat[m1].reshape(k1, -1, 8) & 1).astype(np.uint8)
         p = (v[..., 0] | v[..., 1] << 1 | v[..., 2] << 2 | v[..., 3] << 3
@@ -364,11 +386,23 @@ def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
              | v[..., 7] << 7)
         out_p1[: k1 * segb // 8] = p.reshape(-1)
     if k2:
-        v = ((vflat[m2] + 2).reshape(k2, -1) & 3).astype(np.uint8)
+        vals2 = vflat + 2
+        if e is not None:
+            vals2 = np.where(
+                (cls == 6)[:, None, None],
+                e + 3 * m6[:, None, :].astype(np.int16), vals2,
+            )
+        v = (vals2[m2blk].reshape(k2, -1) & 3).astype(np.uint8)
         p = (v[:, 0::4] | v[:, 1::4] << 2 | v[:, 2::4] << 4 | v[:, 3::4] << 6)
         out_p2[: k2 * segb // 4] = p.reshape(-1)
     if k3:
-        v = ((vflat[m3] + 4).reshape(k3, -1, 8) & 7).astype(np.uint8)
+        vals3 = vflat + 4
+        if e is not None:
+            vals3 = np.where(
+                (cls == 7)[:, None, None],
+                e + 7 * m7[:, None, :].astype(np.int16), vals3,
+            )
+        v = (vals3[m3blk].reshape(k3, -1, 8) & 7).astype(np.uint8)
         o = np.empty((k3, v.shape[1], 3), np.uint8)
         o[..., 0] = v[..., 0] | v[..., 1] << 3 | (v[..., 2] & 3) << 6
         o[..., 1] = (v[..., 2] >> 2 | v[..., 3] << 1 | v[..., 4] << 4

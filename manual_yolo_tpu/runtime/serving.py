@@ -294,18 +294,22 @@ def _segs_decoder(nslots, H, W, top, nh, segw, Np, pad_value=114):
         ).reshape(-1)[:nseg].astype(bool)
         is1, is2, is3, isr = cls == 1, cls == 2, cls == 3, cls == 4
         is5 = cls == 5  # clamp-shift: cur = clamp(prev + sext(bias))
-        # rank of each segment within its class == its payload slot
-        # (host appends per class in the same scan order)
+        # shift-residual: cur = clamp(prev + j) + e; payload shares the
+        # 2-bit (class 6) / 3-bit (class 7) blocks
+        is6, is7 = cls == 6, cls == 7
+        is2b, is3b = is2 | is6, is3 | is7
+        # rank of each segment within its payload BLOCK == its slot
+        # (host appends per block in the same scan order)
         i32 = jnp.int32
         r1 = jnp.cumsum(is1.astype(i32)) - 1
-        r2 = jnp.cumsum(is2.astype(i32)) - 1
-        r3 = jnp.cumsum(is3.astype(i32)) - 1
+        r2 = jnp.cumsum(is2b.astype(i32)) - 1
+        r3 = jnp.cumsum(is3b.astype(i32)) - 1
         rr = jnp.cumsum(isr.astype(i32)) - 1
         isx = ~flag
         rx = jnp.cumsum(isx.astype(i32)) - 1
         k1 = jnp.sum(is1.astype(i32))
-        k2 = jnp.sum(is2.astype(i32))
-        k3 = jnp.sum(is3.astype(i32))
+        k2 = jnp.sum(is2b.astype(i32))
+        k3 = jnp.sum(is3b.astype(i32))
         kr = jnp.sum(isr.astype(i32))
         b2p = ((q1 * k1 + q2 - 1) // q2) * q2
         b3p = ((b2p + q2 * k2 + q3 - 1) // q3) * q3
@@ -354,8 +358,8 @@ def _segs_decoder(nslots, H, W, top, nh, segw, Np, pad_value=114):
         ).reshape(-1, segb)
         draw = bits.reshape(-1, segb)
         g1 = jnp.take(d1, jnp.where(is1, r1, 0), axis=0)
-        g2 = jnp.take(d2, jnp.where(is2, b2p // q2 + r2, 0), axis=0)
-        g3 = jnp.take(d3, jnp.where(is3, b3p // q3 + r3, 0), axis=0)
+        g2 = jnp.take(d2, jnp.where(is2b, b2p // q2 + r2, 0), axis=0)
+        g3 = jnp.take(d3, jnp.where(is3b, b3p // q3 + r3, 0), axis=0)
         gr = jnp.take(draw, jnp.where(isr, brp // qr + rr, 0), axis=0)
         # per-segment bias: the slot default, or the ranked exception
         seg_slot = jnp.arange(nseg, dtype=i32) // segs_per_slot
@@ -389,9 +393,25 @@ def _segs_decoder(nslots, H, W, top, nh, segw, Np, pad_value=114):
             + biasx.astype(jnp.int8).astype(jnp.int16),
             0, 255,
         ).astype(u)
+        # classes 6/7: bias byte = ((j + 64) & 0x7F) | m<<7 — saturating
+        # shift by j plus a one-sided residual from the shared 2/3-bit
+        # block (e = v - m*lim, added mod 256: bit-exact by construction)
+        j67 = jnp.bitwise_and(biasx, u(0x7F)).astype(jnp.int16) - 64
+        m67 = jnp.right_shift(biasx, u(7))  # u8 0/1
+        shifted67 = jnp.clip(
+            pact.astype(jnp.int16) + j67, 0, 255
+        ).astype(u)
+        new6 = shifted67 + g2 + m67 * u(253)  # +e, e = v - 3m (mod 256)
+        new7 = shifted67 + g3 + m67 * u(249)  # +e, e = v - 7m (mod 256)
         newseg = jnp.where(
             isr[:, None], gr,
-            jnp.where(is5[:, None], shifted, pact + delta),
+            jnp.where(
+                is5[:, None], shifted,
+                jnp.where(
+                    is6[:, None], new6,
+                    jnp.where(is7[:, None], new7, pact + delta),
+                ),
+            ),
         )
         act = newseg.reshape(nslots, nh, W, 3)
         if nh == H:

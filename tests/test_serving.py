@@ -792,3 +792,92 @@ def test_batch_stream_close_with_inflight_batch_does_not_hang():
     assert not s._dispatch_thread.is_alive()
     assert not s._worker_thread.is_alive()
     assert not s._applier_thread.is_alive()
+
+
+def test_seg_encode_shift_residual_classes_clip_boundary():
+    """Classes 6/7 (clamp-shift + one-sided residual): brightening jitter
+    over content with antialiased saturating highlights. Unclipped pixels
+    shift by j (delta = j, large) while near-saturated pixels land at
+    255 + e (delta small) — a within-segment delta span far beyond class
+    3's 7, with a tiny ONE-SIDED residual vs the clamp-shift prediction.
+    Before round 4 those segments fell to raw (120 B vs 30/45 B). Checks
+    native == numpy byte-for-byte, that the new classes actually engage,
+    that raw stays confined to true repaints, and that the device decode
+    is bit-exact."""
+    from manual_yolo_tpu.runtime import native as native_mod
+    from manual_yolo_tpu.runtime.serving import BatchStream, _segs_decoder
+
+    rng = np.random.default_rng(11)
+    nslots, H, W, segw = 2, 64, 64, 8
+    top, nh = 8, 48
+    j = 20  # per-frame brightening jitter
+    # rows 0..23 of the active window: mid-range content shifting exactly
+    # by j (the per-slot probe detects j here; these segments are class 0)
+    prev = np.zeros((nslots, H, W, 3), np.uint8)
+    cur = np.zeros_like(prev)
+    mid = rng.integers(80, 160, (nslots, 24, W, 3)).astype(np.uint8)
+    prev[:, top : top + 24] = mid
+    cur[:, top : top + 24] = mid + j
+    # rows 24..47: highlight texture — within each 8-px segment, pixels
+    # alternate between near-saturated (250) and mid (100). After the +j
+    # shift the 250s clamp to 255, but the real content is an antialiased
+    # highlight sitting a little BELOW full saturation: e in {-2 (class 6
+    # rows), -5 (class 7 rows)}. delta span = (255+e-250) - (100+j-100)
+    # ~ 17 >> 7, so without classes 6/7 these are raw.
+    hi = np.where(np.arange(W) % 2 == 0, 250, 100)[None, None, :, None]
+    prev[:, top + 24 : top + nh] = hi.astype(np.uint8)
+    e_row = np.where(np.arange(24) % 2 == 0, -2, -5)[None, :, None, None]
+    shifted = np.clip(hi + j, 0, 255)
+    cur[:, top + 24 : top + nh] = np.where(
+        hi == 250, shifted + e_row, shifted
+    ).astype(np.uint8)
+    # slot 1 also gets a true repaint -> raw segments must still appear
+    cur[1, top + 4 : top + 8, 8:32] = rng.integers(0, 256, (4, 24, 3), np.uint8)
+
+    nseg = nslots * nh * (W // segw)
+    segb = segw * 3
+    q1, q2, q3, qr = segb // 8, segb // 4, segb * 3 // 8, segb
+
+    def run(force_numpy):
+        bufs = (
+            np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q2, np.uint8),
+            np.zeros(nseg * q3, np.uint8), np.zeros(nseg * qr, np.uint8),
+            np.zeros(nseg * 3, np.uint8), np.zeros(nseg, np.uint8),
+        )
+        counts = native_mod.seg_encode(
+            cur, prev, top, nh, segw, *bufs, force_numpy=force_numpy
+        )
+        return counts, bufs
+
+    cn, bn = run(False)
+    cp, bp = run(True)
+    if native_mod.get_lib() is not None:
+        assert cn == cp
+        for a, b in zip(bn, bp):
+            assert np.array_equal(a, b)
+    counts, bufs_t = cp, bp
+    hist = np.bincount(bufs_t[5], minlength=8)
+    assert hist[6] > 0 and hist[7] > 0, f"shift-residual never engaged: {hist}"
+    # raw is confined to the repaint region (4 rows x 3 segments)
+    assert hist[4] <= 12, f"highlight segments leaked to raw: {hist}"
+
+    # device decode bit-exactness through the full assemble path
+    sbufs = BatchStream._make_segs_bufs(segw, nseg, nslots * nh * W * 3, 1)
+    counts = native_mod.seg_encode(
+        cur, prev, top, nh, segw, sbufs["p1"], sbufs["p2"], sbufs["p3"],
+        sbufs["raw"], sbufs["bias"], sbufs["cls"],
+    )
+    enc = BatchStream._assemble_segs_payload(
+        sbufs, 0, counts, (q1, q2, q3, qr), nseg, nslots,
+        nslots * nh * W * 3,
+    )
+    assert enc is not None
+    payload, npb = enc
+    decode = _segs_decoder(nslots, H, W, top, nh, segw, npb)
+    out = np.asarray(
+        jax.jit(decode)(jnp.asarray(payload), jnp.asarray(prev.reshape(-1)))
+    ).reshape(nslots, H, W, 3)
+    expect = cur.copy()
+    expect[:, :top] = 114
+    expect[:, top + nh :] = 114
+    assert np.array_equal(out, expect)
