@@ -281,12 +281,22 @@ class OCREngine:
         ids, conf, logits = self._run_parts(params, gray_batch, masks, n_models)
         n = gray_batch.shape[0]
         v = self.N_VARIANTS
-        m = masks.shape[0]
         j = jnp.argmax(conf, axis=1)  # (N,)
-        km, vv = j // v, j % v
-        mm = km % m
+        vv = j % v
         sel = logits[:, jnp.arange(n) * v + vv]  # (K, N, T, C)
-        logp = jax.nn.log_softmax(sel + masks[mm][None, :, None, :], axis=-1)
+        # rescore under the PRIMARY mask, not the winning decode's mask:
+        # masks[0] is the widest allowlist of the kind (NAME_ALLOW ⊃
+        # STRICT_NAME_ALLOW), and the ensemble rescorer SUMS these scores
+        # across groups — a narrower winning mask would hard-veto (-inf)
+        # any candidate using a char outside it (measured: every
+        # 's.kaahyap' real crop lost its dot because one group's winner
+        # was the strict dot-less mask, 25/42 of the r4 train-split
+        # errors). Masks shape candidate GENERATION; arbitration must
+        # measure image evidence under one shared charset — the same
+        # masks[0] the greedy confidences already score under.
+        logp = jax.nn.log_softmax(
+            sel + masks[0][None, None, None, :], axis=-1
+        )
         return ids, conf, jnp.transpose(logp, (1, 0, 2, 3))
 
     # batch-size bucketing: each distinct leading dim N would otherwise
