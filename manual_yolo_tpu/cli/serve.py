@@ -144,6 +144,21 @@ def main(argv=None) -> int:
         from manual_yolo_tpu.runtime.ocr import default_ocr_engine
 
         ocr_engine = default_ocr_engine()
+    # overlapped warm-start (round 4): the terminal compiles each program
+    # at its first execution, concurrently across programs — dispatch the
+    # fixed detect/classify programs and every recognizer program NOW
+    # (unfetched) so the whole compile wave runs while the fleet sources
+    # initialise, instead of serially across the first ticks
+    # (docs/BENCH_NOTES.md recorded a ~27-min degraded warmup episode)
+    _prewarm = stream.prewarm_async()
+    if ocr_engine is not None:
+        # per-tick read counts vary with fleet churn; floor the bucket set
+        # at 32 (one padded 32-lane call costs less than a lazy ~10-40 s
+        # mid-tick compile) and warm the two buckets a 32-table fleet hits
+        ocr_engine.MIN_BUCKET = 32
+        _prewarm += ocr_engine.prewarm_async(
+            buckets=(32, ocr_engine.MAX_CHUNK)
+        )
 
     def gather_text_fields(frame, dets, ti, refs, crops, names):
         """Collect one table's OCR-eligible crops into the tick-wide

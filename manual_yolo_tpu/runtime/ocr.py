@@ -113,6 +113,26 @@ class OCREngine:
             ),
             "generic": jnp.asarray(ctc_ops.allowlist_mask(None)[None]),
         }
+        # Pad every kind's mask stack to the SAME M (repeating the primary
+        # mask): the recognizer programs are keyed by input shapes, and a
+        # per-kind M would compile one program per (group, entry, kind) —
+        # ~10 programs instead of 4. Under the remote-compile tunnel each
+        # fresh process pays a terminal-side compile per program
+        # (tools/firstexec_probe.py — no cross-process cache exists), so
+        # the program count is cold-start wall time. A duplicated mask
+        # yields duplicated candidates, which the host-side dedup already
+        # drops; masks[0] stays the primary, preserving scoring semantics.
+        _m_max = max(int(v.shape[0]) for v in self._masks.values())
+        self._masks = {
+            k: (
+                v
+                if int(v.shape[0]) == _m_max
+                else jnp.concatenate(
+                    [v] + [v[:1]] * (_m_max - int(v.shape[0]))
+                )
+            )
+            for k, v in self._masks.items()
+        }
         # host prefix-beam + ensemble-rescore refinement: per-model beams
         # recover doubled/narrow characters greedy decode collapses
         # ("snowsport55" -> "snowsport5" was the dominant real-crop error
@@ -178,6 +198,36 @@ class OCREngine:
         out); falls back to every group if the gating excluded them all."""
         gs = [g for g in self._groups if g.kinds is None or kind in g.kinds]
         return gs or self._groups
+
+    def prewarm_async(self, kinds=("numeric", "name", "game_id"),
+                      buckets=None):
+        """Dispatch each (group, kind, bucket) recognizer program once on
+        a zero batch, WITHOUT fetching, and return the unfetched outputs.
+
+        Under the remote-compile tunnel the terminal compiles a program at
+        its first execution and overlaps concurrent requests
+        (tools/overlap_probe.py) — so a streaming caller (bench, serve)
+        dispatches all recognizer compiles up front, concurrently with the
+        detector's own big compile, instead of paying each one serially at
+        the first changed-field read (~10-40 s apiece mid-measurement).
+        Both the greedy (``run``) and beam (``run_logp``) entry points are
+        warmed: the escalation path uses the latter.
+
+        ``buckets``: batch-size buckets to warm; default is the single
+        production bucket implied by MIN_BUCKET/MAX_CHUNK (right for
+        callers that pin MIN_BUCKET = MAX_CHUNK, like bench). Callers with
+        variable read counts pass the power-of-two buckets they expect."""
+        outs = []
+        if buckets is None:
+            buckets = (min(self.MAX_CHUNK, max(self.MIN_BUCKET, 1)),)
+        for kind in kinds:
+            masks = self._masks[kind]
+            for g in self._groups_for(kind):
+                for b in buckets:
+                    zeros = jnp.zeros((b, g.img_h, g.width), jnp.float32)
+                    outs.append(g.run(g.params, zeros, masks))
+                    outs.append(g.run_logp(g.params, zeros, masks))
+        return outs
 
     @classmethod
     def from_npz(cls, path, compute_dtype=jnp.float32,
