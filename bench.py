@@ -677,6 +677,30 @@ def run_measurement():
             measure_static_stream(stream, frames), 2))
 
 
+def route_json_line(ln: str, full_json: list, prov_json: list) -> bool:
+    """Watchdog line router: append ``ln`` to the right bucket and return
+    whether it must be forwarded to stdout NOW. Monotone policy — the
+    driver parses the LAST stdout JSON line, so: full (non-provisional)
+    lines always forward; provisional lines forward only while no full
+    line exists AND they improve on the best provisional value (a colder
+    retry must not overwrite a better number as the visible last line)."""
+    try:
+        rec = json.loads(ln)
+        prov = rec.get("provisional", False)
+        val = float(rec.get("value") or 0.0)
+    except (ValueError, TypeError):
+        prov, val = True, 0.0
+    if not prov:
+        full_json.append(ln)
+        return True
+    best = max(
+        (float(json.loads(p).get("value") or 0.0) for p in prov_json),
+        default=-1.0,
+    )
+    prov_json.append(ln)
+    return not full_json and val > best
+
+
 def main():
     """Watchdog wrapper: device_put / fetch / remote-compile calls through
     the tunnel occasionally hang forever (docs/BENCH_NOTES.md), so the
@@ -719,26 +743,8 @@ def main():
             for ln in pipe:
                 ln = ln.rstrip("\n")
                 if ln.startswith("{") and ln.endswith("}"):
-                    try:
-                        rec = json.loads(ln)
-                        prov = rec.get("provisional", False)
-                        val = float(rec.get("value") or 0.0)
-                    except (ValueError, TypeError):
-                        prov, val = True, 0.0
                     with lock:
-                        if prov:
-                            # forward only improvements: a colder attempt
-                            # 2 must not overwrite attempt 1's number as
-                            # the driver-visible last line
-                            best = max(
-                                (float(json.loads(p).get("value") or 0.0)
-                                 for p in prov_json), default=-1.0,
-                            )
-                            prov_json.append(ln)
-                            if not full_json and val > best:
-                                print(ln, flush=True)
-                        else:
-                            full_json.append(ln)
+                        if route_json_line(ln, full_json, prov_json):
                             print(ln, flush=True)
                 else:
                     print(ln, file=sys.stderr, flush=True)

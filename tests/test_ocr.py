@@ -425,3 +425,83 @@ def test_run_bucketed_pads_and_chunks_consistently():
     for (tb, cb), (ts, cs) in zip(batched, singles):
         assert tb == ts
         assert abs(cb - cs) < 1e-5
+
+
+def test_mask_stacks_share_one_shape():
+    """Every kind's allowlist-mask stack is padded to the same M (the
+    recognizer programs key on input shapes; per-kind M would compile one
+    program per kind — cold-start wall time under the remote-compile
+    tunnel, docs/BENCH_NOTES.md). masks[0] must stay the kind's primary
+    (widest) mask: rescoring and confidence scoring both key off it."""
+    from manual_yolo_tpu.ops import ctc as ctc_ops
+    from manual_yolo_tpu.runtime.ocr import (
+        NAME_ALLOW, NUMERIC_ALLOW, OCREngine,
+    )
+
+    params = crnn.init_params(jax.random.PRNGKey(0), hidden=32)
+    eng = OCREngine(params, width=96)
+    shapes = {k: v.shape for k, v in eng._masks.items()}
+    assert len(set(shapes.values())) == 1, shapes
+    np.testing.assert_array_equal(
+        np.asarray(eng._masks["name"][0]),
+        ctc_ops.allowlist_mask(NAME_ALLOW),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(eng._masks["numeric"][0]),
+        ctc_ops.allowlist_mask(NUMERIC_ALLOW),
+    )
+    # padded duplicates must not change decode results vs the primary
+    rng = np.random.default_rng(2)
+    gray = rng.random((22, 48)).astype(np.float32)
+    out = eng.read_batch([gray], "numeric", min_confidence=0.0)
+    assert len(out) == 1 and isinstance(out[0][0], str)
+
+
+def test_engine_prewarm_async_matches_production_programs():
+    """prewarm_async must dispatch the exact (shape, mask) programs the
+    read paths use: after a prewarm, real reads trigger NO new jit trace
+    for the same bucket (checked via the jitted functions' cache size)."""
+    from manual_yolo_tpu.runtime.ocr import OCREngine
+
+    params = crnn.init_params(jax.random.PRNGKey(0), hidden=32)
+    eng = OCREngine(params, width=96)
+    eng.MIN_BUCKET = eng.MAX_CHUNK = 8
+    outs = eng.prewarm_async(kinds=("numeric", "name"))
+    assert outs, "prewarm dispatched nothing"
+    jax.block_until_ready(outs)
+    g = eng._groups[0]
+    sizes_before = (g.run._cache_size(), g.run_logp._cache_size())
+    rng = np.random.default_rng(3)
+    grays = [rng.random((20, 40)).astype(np.float32) for _ in range(3)]
+    eng.read_batch(grays, "numeric", min_confidence=0.0)
+    eng.read_batch_candidates(grays, "name", beam=True)
+    sizes_after = (g.run._cache_size(), g.run_logp._cache_size())
+    assert sizes_after == sizes_before, (sizes_before, sizes_after)
+
+
+def test_bench_route_json_line_monotone():
+    """Watchdog routing: full lines always forward; provisional lines
+    forward only while no full line exists AND they improve on the best
+    provisional value (a colder retry must not become the driver-visible
+    last line)."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_for_test",
+        _os.path.join(_os.path.dirname(__file__), "..", "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    full, prov = [], []
+    mk = lambda v, p: f'{{"value": {v}, "provisional": {str(p).lower()}}}'
+    assert bench.route_json_line(mk(10.0, True), full, prov) is True
+    assert bench.route_json_line(mk(5.0, True), full, prov) is False
+    assert bench.route_json_line(mk(12.0, True), full, prov) is True
+    assert bench.route_json_line(mk(100.0, False), full, prov) is True
+    # once a full line exists, provisional lines never forward again
+    assert bench.route_json_line(mk(500.0, True), full, prov) is False
+    # later full lines (median-refined) always forward
+    assert bench.route_json_line(mk(90.0, False), full, prov) is True
+    assert [len(full), len(prov)] == [2, 4]
