@@ -42,7 +42,7 @@ def main(argv=None) -> int:
         width=args.width, img_h=args.img_h, hidden=args.hidden, lr=args.lr,
         pool_size=args.pool_size, real_labels=args.real_labels,
         real_splits=tuple(args.real_splits.split(",")), real_frac=args.real_frac,
-        seed=args.seed, init_from=args.init_from,
+        seed=args.seed, init_from=args.init_from, kinds=args.kinds,
     )
     res = train_ocr(cfg)
     print(json.dumps(res, indent=2))
