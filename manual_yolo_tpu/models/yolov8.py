@@ -423,7 +423,15 @@ class BNCtx:
 
 
 def conv_block(p, x, stride=1, act=True, compute_dtype=jnp.float32, bn_ctx=None, path=""):
-    """Conv + (BN|bias) + SiLU. Returns f32 activations.
+    """Conv + (BN|bias) + SiLU.
+
+    Hidden (``act=True``) folded-inference layers keep the bias-add + SiLU
+    epilogue in ``compute_dtype``, so under bf16 the inter-layer activation
+    tensors are written/read at 2 bytes/element — the conv stack is HBM
+    bandwidth-bound at batch 64 (docs/BENCH_NOTES.md roofline) and f32
+    epilogues doubled that traffic. Output/head layers (``act=False``) and
+    the BN (training) path still promote to f32: DFL/box decode and batch
+    statistics stay full precision.
 
     With ``bn_ctx`` set, BN uses batch statistics (train mode) and records
     updated running stats into the context under ``path``.
@@ -446,7 +454,8 @@ def conv_block(p, x, stride=1, act=True, compute_dtype=jnp.float32, bn_ctx=None,
         inv = jax.lax.rsqrt(var + BN_EPS)
         y = (y - mean) * (bn["gamma"] * inv) + bn["beta"]
     elif "b" in p:
-        y = y + p["b"]
+        b = p["b"].astype(y.dtype) if act else p["b"]
+        y = y + b
     if act:
         y = jax.nn.silu(y)
     return y
