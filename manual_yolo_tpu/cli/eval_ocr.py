@@ -21,11 +21,25 @@ DATASET_ROOT = "/root/reference/roadmap1.v3i.yolov8"
 TEST2 = "/root/reference/test2.png"
 
 
+def _train_holdout(stem: str) -> bool:
+    """Deterministic ~1/3 image-level carve-out of the 'train' source for
+    held-out OCR evaluation. Image-level (not crop-level) so no crop of a
+    held-out screenshot ever enters a training batch; md5 keyed so the
+    assignment is stable across runs/seeds and machines."""
+    import hashlib
+
+    return int(hashlib.md5(stem.encode()).hexdigest(), 16) % 3 == 0
+
+
 def load_real_crops(labels_path: str, dataset_root: str = DATASET_ROOT,
                     pad: int = 2, splits=None):
     """Yield (crop_bgr, class_name, truth_text) for every labelled item.
 
     ``splits`` restricts to sources ('test', 'valid', 'test2'); None = all.
+    Two pseudo-splits partition the 'train' source deterministically by
+    image stem (md5 % 3): 'train_fit' (~2/3, for training mixes) and
+    'train_holdout' (~1/3, eval-only — members trained on train_fit have
+    never seen any crop of these screenshots).
     """
     import cv2
 
@@ -37,7 +51,14 @@ def load_real_crops(labels_path: str, dataset_root: str = DATASET_ROOT,
             continue
         split = it["src"].split("/", 1)[0] if "/" in it["src"] else it["src"]
         if splits is not None and split not in splits:
-            continue
+            if split != "train" or not (
+                ("train_fit" in splits or "train_holdout" in splits)
+            ):
+                continue
+            stem = it["src"].split("/", 1)[1]
+            want = "train_holdout" if _train_holdout(stem) else "train_fit"
+            if want not in splits:
+                continue
         if it["src"] == "test2":
             if "test2" not in img_cache:
                 img_cache["test2"] = cv2.imread(TEST2)
@@ -135,7 +156,8 @@ def main(argv=None) -> int:
     ap.add_argument("--labels", default="data/ocr_real/labels.json")
     ap.add_argument("--min-confidence", type=float, default=0.0)
     ap.add_argument("--splits", default="test,test2",
-                    help="comma-separated sources (test, valid, test2)")
+                    help="comma-separated sources (test, valid, test2, "
+                         "train, train_fit, train_holdout)")
     ap.add_argument("--dump-errors", default=None,
                     help="write mismatching rows to this JSON file")
     ap.add_argument("--no-beam", action="store_true",
