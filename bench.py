@@ -67,13 +67,12 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
 def _enable_compile_cache():
-    import jax
+    # shared with cli/serve.py: cache EVERYTHING (threshold 1 s) — the
+    # small per-bucket decode programs compile in seconds but there are a
+    # dozen of them, and on a driver run every saved compile is budget
+    from manual_yolo_tpu.utils.compile_cache import enable_repo_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
-    # cache EVERYTHING (threshold 1 s): the small per-bucket decode
-    # programs compile in seconds but there are a dozen of them, and on a
-    # driver run every saved compile is measurement budget
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    enable_repo_compile_cache(os.path.join(ROOT, ".jax_cache"))
 
 
 # Base frame for the stream: a REAL labeled table screenshot from the

@@ -117,6 +117,9 @@ def main(argv=None) -> int:
                          "compile service never caches across processes)")
     args = ap.parse_args(argv)
 
+    from manual_yolo_tpu.utils.compile_cache import enable_repo_compile_cache
+
+    enable_repo_compile_cache()
     stream = load_batch_stream(
         args.detector, args.classifier, batch=args.tables,
         imgsz=args.imgsz, conf=args.conf,
