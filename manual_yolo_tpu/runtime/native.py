@@ -101,6 +101,7 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.ctc_score.restype = ctypes.c_float
@@ -292,12 +293,15 @@ def tribit_encode(
 
 
 def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
-                      out_raw, out_bias, out_cls):
-    """Vectorized numpy mirror of the native seg_encode (same byte layout);
-    the test oracle and the no-toolchain fallback."""
+                      out_raw, out_m4, out_m8, out_nib, out_byte,
+                      out_bias, out_cls):
+    """Vectorized numpy mirror of the native seg_encode (same byte layout,
+    same cost-based class selection and tie-breaks); the test oracle and
+    the no-toolchain fallback."""
     B, nh, W, _ = cur_act.shape
     seg = W // segw
     segb = segw * 3
+    q1 = segb // 8
     # RECENTERED mod-256 delta domain (mirror of the native pass): a
     # wrapped delta classifies via its residue; reconstruction is mod-256
     # throughout, so this is bit-exact
@@ -328,24 +332,29 @@ def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
         sok_raw = (
             (cc == pred).reshape(nseg_tot, segw * 3).all(axis=1) & jv_seg
         )
-        # shift-residual classes 6/7: e = cur - clamp(prev + j), one-sided
-        # per channel (the clip-boundary case class 5 cannot absorb)
+        # shift-residual classes 6/7/9: e = cur - clamp(prev + j) —
+        # one-sided per channel for 6/7, two-sided nibble for 9. The
+        # windows are mod-256 (admission == decodability: an aliased big
+        # residual congruent to a small one decodes bit-exactly), mirror
+        # of the native u8-lane tests
         e = (cc.astype(np.int16) - pred).reshape(nseg_tot, segw, 3)
-        emx = e.max(axis=1)  # (nseg, 3)
-        emn = e.min(axis=1)
+        eu = e.astype(np.uint8)
 
         def _fits(lim):
-            pos = (emn >= 0) & (emx <= lim)
-            neg = (emx <= 0) & (emn >= -lim)
+            pos = (eu <= lim).all(axis=1)  # (nseg, 3)
+            neg = ((eu + np.uint8(lim)) <= lim).all(axis=1)
             return ((pos | neg).all(axis=1) & jv_seg), (neg & ~pos)
 
         fit6, m6 = _fits(3)
         fit7, m7 = _fits(7)
+        fit9 = ((eu + np.uint8(8)) <= 15).all(axis=(1, 2)) & jv_seg
+        nz_s = (eu != 0).sum(axis=(1, 2))
     else:  # no slot has a shift candidate: skip the full-plane compare
         sok_raw = np.zeros(nseg_tot, bool)
         e = None
-        fit6 = fit7 = np.zeros(nseg_tot, bool)
+        fit6 = fit7 = fit9 = np.zeros(nseg_tot, bool)
         m6 = m7 = np.zeros((nseg_tot, 3), bool)
+        nz_s = np.zeros(nseg_tot, np.int64)
     sok = sok_raw & (span != 0)
     # whole-slot clamp-shift (native fast path): every segment of the
     # slot classifies 5, including span-0 ones (identical bytes either
@@ -354,31 +363,98 @@ def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
         sok_raw.reshape(B, -1).all(axis=1) & (jj != 0).any(axis=1),
         nh * seg,
     )
+    # const-modal bias (classes 8/10): per-channel MODE of the delta,
+    # ties -> smallest value (bincount argmax; matches the native scan)
+    biasc = np.zeros((nseg_tot, 3), np.int16)
+    nz_c = np.zeros(nseg_tot, np.int64)
+    fit8 = np.zeros(nseg_tot, bool)
+    cand = np.where(span > 1)[0]
+    if cand.size:
+        sub = ds[cand]  # (k, segw, 3)
+        off = (sub - dmn[cand][:, None, :]).astype(np.int64)  # [0, 255]
+        k = cand.size
+        segch = np.arange(k * 3).reshape(k, 3)
+        hist = np.bincount(
+            (segch[:, None, :] * 256 + off).reshape(-1),
+            minlength=k * 3 * 256,
+        ).reshape(k, 3, 256)
+        bc = dmn[cand] + hist.argmax(axis=2).astype(np.int16)
+        biasc[cand] = bc
+        u8r = (sub - bc[:, None, :]).astype(np.uint8)  # mod-256 residual
+        nz_c[cand] = (u8r != 0).sum(axis=(1, 2))
+        fit8[cand] = ((u8r + np.uint8(8)) <= 15).all(axis=(1, 2))
+    # exact byte-cost selection (preference on ties: 2,6,3,7,8,9,10,raw —
+    # argmin returns the first min, so the stack order IS the tie-break)
+    INF = 1 << 30
+    q2b, q3b = segb // 4, segb * 3 // 8
+    costs = np.stack([
+        np.where(span <= 3, q2b, INF),
+        np.where(fit6, q2b, INF),
+        np.where(span <= 7, q3b, INF),
+        np.where(fit7, q3b, INF),
+        np.where(fit8, q1 + (nz_c + 1) // 2, INF),
+        np.where(fit9, q1 + (nz_s + 1) // 2, INF),
+        q1 + nz_c,
+        np.full(nseg_tot, segb, np.int64),
+    ])
+    classmap = np.array([2, 6, 3, 7, 8, 9, 10, 4], np.int64)
     cls = np.select(
-        [slot_ok, span == 0, sok, span <= 1, span <= 3, fit6, span <= 7,
-         fit7],
-        [5, 0, 5, 1, 2, 6, 3, 7], 4,
+        [slot_ok, span == 0, sok, span <= 1],
+        [5, 0, 5, 1], classmap[costs.argmin(axis=0)],
     )
     out_cls[: cls.size] = cls.astype(np.uint8)
-    # biases: const -> the delta itself; clamp-shift -> j; 1/2/3-bit ->
-    # clipped toward 0; shift-residual -> ((j+64) & 0x7F) | m<<7; raw -> 0
+    # biases: const/sparse-const -> modal or exact delta; clamp-shift -> j;
+    # 1/2/3-bit -> clipped toward 0; shift-residual -> ((j+64) & 0x7F) |
+    # m<<7; sparse-shift -> (j+64) & 0x7F; raw -> 0
     b1 = np.minimum(np.maximum(0, dmx - 1), dmn)
     b2 = np.minimum(np.maximum(0, dmx - 1), dmn + 2)
     b3 = np.minimum(np.maximum(0, dmx - 3), dmn + 4)
     jseg = np.repeat(jj, nh * seg, axis=0)
     m67 = np.where((cls == 6)[:, None], m6, m7)
     b67 = ((jseg + 64) & 0x7F) | (m67.astype(np.int16) << 7)
+    b9 = (jseg + 64) & 0x7F
     bias = np.select(
         [cls[:, None] == 0, cls[:, None] == 5, cls[:, None] == 1,
          cls[:, None] == 2, cls[:, None] == 3,
-         (cls[:, None] == 6) | (cls[:, None] == 7)],
-        [dmn, jseg, b1, b2, b3, b67], 0,
+         (cls[:, None] == 6) | (cls[:, None] == 7),
+         (cls[:, None] == 8) | (cls[:, None] == 10),
+         cls[:, None] == 9],
+        [dmn, jseg, b1, b2, b3, b67, biasc, b9], 0,
     ).astype(np.int16)
     out_bias[: cls.size * 3] = (bias.reshape(-1) % 256).astype(np.uint8)
     vflat = ds - bias[:, None, :]  # residuals per segment
     m1 = cls == 1
     m2blk, m3blk, m4 = (cls == 2) | (cls == 6), (cls == 3) | (cls == 7), cls == 4
     k1, k2, k3, kr = (int(m.sum()) for m in (m1, m2blk, m3blk, m4))
+    # sparse classes: deviation masks (one bit per byte, little-endian —
+    # the decoder reads them through the same unpack as the 1-bit rows)
+    # + nibble/byte exception streams packed contiguously ACROSS segments
+    mm4 = (cls == 8) | (cls == 9)
+    mm8 = cls == 10
+    k4m, k10m = int(mm4.sum()), int(mm8.sum())
+    nz4 = nz8 = 0
+    if k4m:
+        rse = ds - biasc[:, None, :]
+        if e is not None:
+            rse = np.where((cls == 9)[:, None, None], e, rse)
+        rse = rse[mm4].reshape(k4m, segb)
+        dev = rse != 0
+        out_m4[: k4m * q1] = np.packbits(
+            dev, axis=1, bitorder="little"
+        ).reshape(-1)
+        vals = ((rse[dev] + 8) & 0xF).astype(np.uint8)
+        nz4 = int(vals.size)
+        if nz4 % 2:
+            vals = np.append(vals, np.uint8(0))
+        out_nib[: vals.size // 2] = vals[0::2] | (vals[1::2] << 4)
+    if k10m:
+        r10 = (ds - biasc[:, None, :])[mm8].reshape(k10m, segb)
+        dev = r10 != 0
+        out_m8[: k10m * q1] = np.packbits(
+            dev, axis=1, bitorder="little"
+        ).reshape(-1)
+        nz8 = int(dev.sum())
+        out_byte[:nz8] = (r10[dev] % 256).astype(np.uint8)
     if k1:
         v = (vflat[m1].reshape(k1, -1, 8) & 1).astype(np.uint8)
         p = (v[..., 0] | v[..., 1] << 1 | v[..., 2] << 2 | v[..., 3] << 3
@@ -413,7 +489,7 @@ def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
         out_raw[: kr * segb] = (
             cur_act.reshape(B * nh * seg, segb)[m4].reshape(-1)
         )
-    return k1, k2, k3, kr
+    return k1, k2, k3, kr, k4m, k10m, nz4, nz8
 
 
 def seg_encode(
@@ -426,15 +502,22 @@ def seg_encode(
     out_p2: np.ndarray,
     out_p3: np.ndarray,
     out_raw: np.ndarray,
+    out_m4: np.ndarray,
+    out_m8: np.ndarray,
+    out_nib: np.ndarray,
+    out_byte: np.ndarray,
     out_bias: np.ndarray,
     out_cls: np.ndarray,
     force_numpy: bool = False,
 ):
     """Per-segment multi-class delta encoder over rows [top, top+nh) of
-    (B, H, W, 3) uint8 canvases: each segw-pixel segment is classified
-    const / 1-bit / 2-bit / 3-bit / raw and its payload appended densely
-    per class in scan order. Returns (n_1bit, n_2bit, n_3bit, n_raw), or
-    None when segw is unusable (not a multiple of 8 / not a divisor of W)."""
+    (B, H, W, 3) uint8 canvases: each segw-pixel segment takes the
+    byte-cheapest of const / 1-bit / 2-bit / 3-bit / clamp-shift /
+    shift-residual / sparse-exception / raw and its payload appends
+    densely per class in scan order (sparse deviation masks + shared
+    nibble/byte exception streams included). Returns (n_1bit, n_2bit,
+    n_3bit, n_raw, n_mask4, n_mask8, nz_nibbles, nz_bytes), or None when
+    segw is unusable (not a multiple of 8 / not a divisor of W)."""
     B, H, W, _ = cur.shape
     if segw % 8 != 0 or W % segw != 0:
         return None
@@ -443,19 +526,21 @@ def seg_encode(
     if lib is None:
         return _seg_encode_numpy(
             cur[:, top : top + nh], prev[:, top : top + nh], segw,
-            out_p1, out_p2, out_p3, out_raw, out_bias, out_cls,
+            out_p1, out_p2, out_p3, out_raw, out_m4, out_m8, out_nib,
+            out_byte, out_bias, out_cls,
         )
     off = top * W * 3
-    counts = (ctypes.c_int64 * 4)()
+    counts = (ctypes.c_int64 * 8)()
     ok = lib.seg_encode(
         cur.ctypes.data + off, prev.ctypes.data + off, B, nh, W,
         H * W * 3, segw, out_p1.ctypes.data, out_p2.ctypes.data,
-        out_p3.ctypes.data, out_raw.ctypes.data, out_bias.ctypes.data,
-        out_cls.ctypes.data, ctypes.addressof(counts),
+        out_p3.ctypes.data, out_raw.ctypes.data, out_m4.ctypes.data,
+        out_m8.ctypes.data, out_nib.ctypes.data, out_byte.ctypes.data,
+        out_bias.ctypes.data, out_cls.ctypes.data, ctypes.addressof(counts),
     )
     if not ok:
         return None
-    return int(counts[0]), int(counts[1]), int(counts[2]), int(counts[3])
+    return tuple(int(counts[i]) for i in range(8))
 
 
 def decimate_u8_into(frame: np.ndarray, dst: np.ndarray, s: int) -> bool:

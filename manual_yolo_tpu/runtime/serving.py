@@ -270,7 +270,9 @@ def _segs_decoder(nslots, H, W, top, nh, segw, Np, pad_value=114):
 
     def decode(payload_u8, prev_flat_u8):
         # payload layout: [1-bit block | pad %q2 | 2-bit block | pad %q3 |
-        # 3-bit block | pad %qr | raw block | bias exceptions (3/seg) |
+        # 3-bit block | pad %qr | raw block | sparse masks (classes 8/9,
+        # q1 rows) | sparse masks (class 10, q1 rows) | nibble exceptions
+        # | byte exceptions | bias exceptions (3/seg) |
         # zero pad to Np | slot bias defaults (nslots*3) |
         # default-bias flags (nseg/8, bit i of byte j = seg 8j+i) |
         # cls 4-bit packed (nseg/2)]
@@ -297,6 +299,12 @@ def _segs_decoder(nslots, H, W, top, nh, segw, Np, pad_value=114):
         # shift-residual: cur = clamp(prev + j) + e; payload shares the
         # 2-bit (class 6) / 3-bit (class 7) blocks
         is6, is7 = cls == 6, cls == 7
+        # sparse-exception classes: a deviation-mask row per segment (q1
+        # bytes, read through the same 1-bit unpack as p1) + shared
+        # nibble (classes 8/9) / byte (class 10) value streams packed
+        # contiguously ACROSS segments
+        is8, is9, is10 = cls == 8, cls == 9, cls == 10
+        ismask4 = is8 | is9
         is2b, is3b = is2 | is6, is3 | is7
         # rank of each segment within its payload BLOCK == its slot
         # (host appends per block in the same scan order)
@@ -305,16 +313,22 @@ def _segs_decoder(nslots, H, W, top, nh, segw, Np, pad_value=114):
         r2 = jnp.cumsum(is2b.astype(i32)) - 1
         r3 = jnp.cumsum(is3b.astype(i32)) - 1
         rr = jnp.cumsum(isr.astype(i32)) - 1
+        rm4 = jnp.cumsum(ismask4.astype(i32)) - 1
+        rm8 = jnp.cumsum(is10.astype(i32)) - 1
         isx = ~flag
         rx = jnp.cumsum(isx.astype(i32)) - 1
         k1 = jnp.sum(is1.astype(i32))
         k2 = jnp.sum(is2b.astype(i32))
         k3 = jnp.sum(is3b.astype(i32))
         kr = jnp.sum(isr.astype(i32))
+        k4m = jnp.sum(ismask4.astype(i32))
+        k10m = jnp.sum(is10.astype(i32))
         b2p = ((q1 * k1 + q2 - 1) // q2) * q2
         b3p = ((b2p + q2 * k2 + q3 - 1) // q3) * q3
         brp = ((b3p + q3 * k3 + qr - 1) // qr) * qr
-        bep = brp + qr * kr
+        m4p = brp + qr * kr  # mask blocks stay q1-aligned (qr % q1 == 0)
+        m8p = m4p + q1 * k4m
+        nibp = m8p + q1 * k10m
         # decode the WHOLE payload under each packing (cheap vector ops);
         # block alignment makes every segment's values land on a whole
         # decoded row: 1-bit rows from byte 0, 2-bit rows from b2p
@@ -361,6 +375,34 @@ def _segs_decoder(nslots, H, W, top, nh, segw, Np, pad_value=114):
         g2 = jnp.take(d2, jnp.where(is2b, b2p // q2 + r2, 0), axis=0)
         g3 = jnp.take(d3, jnp.where(is3b, b3p // q3 + r3, 0), axis=0)
         gr = jnp.take(draw, jnp.where(isr, brp // qr + rr, 0), axis=0)
+        # sparse-exception machinery: gather each sparse segment's mask
+        # row, derive its value-stream offset as the exclusive cumsum of
+        # mask popcounts (segment order == block order), and gather its
+        # deviating values from the shared nibble/byte streams. All
+        # gathers; the value gathers clip out-of-range indices and the
+        # mask multiply zeroes any clipped garbage — scatter-free.
+        m4b = jnp.take(
+            d1, jnp.where(ismask4, m4p // q1 + rm4, 0), axis=0
+        ) * ismask4[:, None].astype(u)
+        m8b = jnp.take(
+            d1, jnp.where(is10, m8p // q1 + rm8, 0), axis=0
+        ) * is10[:, None].astype(u)
+        pc4 = m4b.astype(i32).sum(axis=1)
+        pc8 = m8b.astype(i32).sum(axis=1)
+        in4 = jnp.cumsum(m4b.astype(i32), axis=1) - m4b.astype(i32)
+        in8 = jnp.cumsum(m8b.astype(i32), axis=1) - m8b.astype(i32)
+        idx4 = (jnp.cumsum(pc4) - pc4)[:, None] + in4
+        nibbyte = jnp.take(bits, nibp + idx4 // 2)
+        v4 = jnp.where(
+            (idx4 & 1).astype(bool),
+            jnp.right_shift(nibbyte, u(4)),
+            jnp.bitwise_and(nibbyte, u(0xF)),
+        )
+        r4v = (v4 - u(8)) * m4b  # signed nibble, mod-256; 0 off-mask
+        bytp = nibp + (jnp.sum(pc4) + 1) // 2
+        idx8 = (jnp.cumsum(pc8) - pc8)[:, None] + in8
+        r8v = jnp.take(bits, bytp + idx8) * m8b
+        bep = bytp + jnp.sum(pc8)  # bias-exception block start
         # per-segment bias: the slot default, or the ranked exception
         seg_slot = jnp.arange(nseg, dtype=i32) // segs_per_slot
         bias_def = jnp.take(slot_bias, seg_slot, axis=0)  # (nseg, 3)
@@ -403,13 +445,30 @@ def _segs_decoder(nslots, H, W, top, nh, segw, Np, pad_value=114):
         ).astype(u)
         new6 = shifted67 + g2 + m67 * u(253)  # +e, e = v - 3m (mod 256)
         new7 = shifted67 + g3 + m67 * u(249)  # +e, e = v - 7m (mod 256)
+        # sparse classes: const base (8/10) or clamp-shift base (9; its
+        # bias byte is the class-6/7 j code with bit 7 clear, so the
+        # shifted67 plane IS its base), plus the masked exception values
+        new8 = pact + biasx + r4v
+        new9 = shifted67 + r4v
+        new10 = pact + biasx + r8v
         newseg = jnp.where(
             isr[:, None], gr,
             jnp.where(
                 is5[:, None], shifted,
                 jnp.where(
                     is6[:, None], new6,
-                    jnp.where(is7[:, None], new7, pact + delta),
+                    jnp.where(
+                        is7[:, None], new7,
+                        jnp.where(
+                            is8[:, None], new8,
+                            jnp.where(
+                                is9[:, None], new9,
+                                jnp.where(
+                                    is10[:, None], new10, pact + delta
+                                ),
+                            ),
+                        ),
+                    ),
                 ),
             ),
         )
@@ -521,6 +580,7 @@ class BatchStream:
         compute_dtype=None,
         use_pallas_nms: Optional[bool] = None,
         delta: bool = True,
+        readback_det: Optional[int] = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -537,6 +597,12 @@ class BatchStream:
         self.rank_names = dict(rank_names)
         self.imgsz = imgsz
         self.max_det = max_det
+        # steady-state readback bound: only the top readback_det NMS slots
+        # cross the link; the full max_det plane is fetched on overflow.
+        # <= 254 so the u8 count byte (capped at readback_det + 1) can
+        # say "exceeded" unambiguously
+        self.readback_det = min(readback_det or 64, max_det, 254)
+        self.readback_overflows = 0
         self.max_rank = max_rank
         self.crop_pad = crop_pad
         self._rank_ids = {i for i, n in names.items() if n in taxonomy.RANK_CLASSES}
@@ -590,6 +656,8 @@ class BatchStream:
         # that the dense tribit/nibble payloads are byte-cheaper)
         self._slots_max = max(1, batch // 4)
 
+        dmax = self.readback_det
+
         def detect_core(params, canvases_flat_u8):
             canvases_u8_bgr = canvases_flat_u8.reshape(batch, imgsz, imgsz, 3)
             x = canvases_u8_bgr[..., ::-1].astype(jnp.float32) / 255.0
@@ -601,14 +669,31 @@ class BatchStream:
                     max_det=max_det, use_pallas=use_pallas_nms,
                 )
             )(boxes, scores)
-            # pack into ONE FLAT array: a single cheap readback. f16 wire
-            # format halves the per-batch fetch bytes (B*max_det*7: 5.4 ->
-            # 2.7 MB at batch 64) — device-to-host transfers ride the same
-            # capped post-flip link as uploads. Lossless where it matters:
-            # canvas box coords <= imgsz (f16 exact to 2048, <=0.5 px
-            # rounding), class ids <= 64 and counts <= max_det exact,
-            # scores keep ~3 decimal digits (the host rounds to 3 anyway).
-            packed = jnp.concatenate(
+            # packed u8 wire format (round 5): the steady-state fetch is a
+            # count-bounded slice — NMS returns score-descending, a table
+            # frame carries ~30-60 detections, so only the top
+            # ``readback_det`` slots cross the link, 12 bytes per slot:
+            # 4 coords as u16 fixed-point (x16: 1/16 px <= the f16 wire's
+            # 0.5 px rounding), score u16 (1/65535 < the 3 decimals the
+            # host keeps), class u8, capped count u8. 64x300x7 f16
+            # (2.7 MB) -> 64x64x12 u8 (49 KB) per batch. The FULL f16
+            # plane is still a program output, resident in HBM — the host
+            # fetches it only when some frame's count exceeds the bound
+            # (rare; counted in ``readback_overflows``).
+            bx = jnp.clip(det.boxes[:, :dmax], 0, imgsz)
+            q16 = jnp.round(bx * 16).astype(jnp.uint16)  # (B, dmax, 4)
+            sc = jnp.round(
+                jnp.clip(det.scores[:, :dmax], 0, 1) * 65535
+            ).astype(jnp.uint16)
+            u16 = jnp.concatenate([q16, sc[..., None]], axis=-1)
+            lo = jnp.bitwise_and(u16, jnp.uint16(0xFF)).astype(jnp.uint8)
+            hi = jnp.right_shift(u16, jnp.uint16(8)).astype(jnp.uint8)
+            b2 = jnp.stack([lo, hi], axis=-1).reshape(batch, dmax, 10)
+            clsb = det.classes[:, :dmax].astype(jnp.uint8)[..., None]
+            cnt = jnp.minimum(det.count, dmax + 1).astype(jnp.uint8)
+            cntb = jnp.broadcast_to(cnt[:, None, None], (batch, dmax, 1))
+            small = jnp.concatenate([b2, clsb, cntb], axis=-1)
+            full = jnp.concatenate(
                 [
                     det.boxes,
                     det.scores[..., None],
@@ -619,8 +704,8 @@ class BatchStream:
                     ),
                 ],
                 axis=-1,
-            ).astype(jnp.float16)  # (B, max_det, 7)
-            return packed.reshape(-1), canvases_flat_u8
+            ).astype(jnp.float16)  # (B, max_det, 7), fetched on overflow
+            return small.reshape(-1), full.reshape(-1), canvases_flat_u8
 
         def detect_raw(params, canvas_flat_u8):
             # flat uint8 input: multi-dim uint8 device_put pays a host-side
@@ -666,11 +751,13 @@ class BatchStream:
             crops_u8_bgr = crops_flat_u8.reshape(batch * max_rank, 64, 64, 3)
             x = crops_u8_bgr[..., ::-1].astype(jnp.float32) / 255.0
             # f32 compute: tiny model; bf16 flips borderline rank reads.
-            # f16 WIRE only — probabilities in [0,1] keep ~3 decimal
-            # digits, and they concatenate with the f16 packed detections
+            # u8 WIRE only — probabilities quantized to 1/255 (the runtime
+            # compares them to 0.20/0.40 thresholds and argmaxes; 0.004
+            # granularity is far inside both margins), concatenating with
+            # the u8 packed detections into one fetch
             logits = yolov8.forward_classify(params, cls_spec, x, jnp.float32)
             probs = jax.nn.softmax(logits, axis=-1)
-            return probs.astype(jnp.float16).reshape(-1)
+            return jnp.round(probs * 255).astype(jnp.uint8).reshape(-1)
 
         self._detect_raw = jax.jit(detect_raw)
         self._detect_nibble = detect_nibble  # plain chain (decode + compute)
@@ -680,9 +767,9 @@ class BatchStream:
         self._classify_core = classify_batch
 
         def compute_fused(det_p, cls_p, canvases_flat_u8, crops_flat_u8):
-            packed, dev = detect_core(det_p, canvases_flat_u8)
+            small, full, dev = detect_core(det_p, canvases_flat_u8)
             probs = classify_batch(cls_p, crops_flat_u8)
-            return jnp.concatenate([packed, probs]), dev, crops_flat_u8
+            return jnp.concatenate([small, probs]), full, dev, crops_flat_u8
 
         # THE one big program: detect + NMS + pack + rank-classify over
         # resident (already-decoded) planes. Every dispatch mode routes
@@ -695,10 +782,7 @@ class BatchStream:
         # round-2/3 driver bench attempts died serially compiling those
         # through the tunnel before any measurement pass could finish.
         self._compute_fused = jax.jit(compute_fused)
-        self._nd_flat = batch * max_det * 7
-        nd_flat = self._nd_flat
-        # probs tail of a compute_fused readback (device-side slice)
-        self._probs_tail = jax.jit(lambda flat: flat[nd_flat:])
+        self._nd_flat = batch * self.readback_det * 12
         # small decode-program caches (cheap compiles, many keys)
         self._decode_canvas_progs: Dict[Tuple, object] = {}
         self._decode_crops_progs: Dict[Tuple, object] = {}
@@ -820,37 +904,37 @@ class BatchStream:
                 try:
                     mode = item.pop("mode")
                     if mode == "skip":
-                        fut, dev, _ = self._compute_fused(
+                        fut, full, dev, _ = self._compute_fused(
                             self.det_params, self.cls_params,
                             self._dev_prev, self._dev_pred_crops,
                         )
                     elif mode == "nibble":
-                        fut, dev = item.pop("nibble_fn")(
+                        fut, full, dev = item.pop("nibble_fn")(
                             self.det_params,
                             _jnp.asarray(item.pop("payload")),
                             self._dev_prev,
                         )
                     elif mode == "tribit":
-                        fut, dev = item.pop("tribit_fn")(
+                        fut, full, dev = item.pop("tribit_fn")(
                             self.det_params,
                             _jnp.asarray(item.pop("payload")),
                             self._dev_prev,
                         )
                     elif mode == "segs":
-                        fut, dev = item.pop("segs_fn")(
+                        fut, full, dev = item.pop("segs_fn")(
                             self.det_params,
                             _jnp.asarray(item.pop("payload")),
                             self._dev_prev,
                         )
                     elif mode == "fused":
-                        fut, dev, devk = item.pop("fused_fn")(
+                        fut, full, dev, devk = item.pop("fused_fn")(
                             self.det_params, self.cls_params,
                             _jnp.asarray(item.pop("payload")),
                             self._dev_prev, self._dev_pred_crops,
                         )
                         self._dev_pred_crops = devk
                     elif mode == "slots":
-                        fut, dev = item.pop("slots_fn")(
+                        fut, full, dev = item.pop("slots_fn")(
                             self.det_params,
                             _jnp.asarray(item.pop("payload")),
                             _jnp.asarray(item.pop("g")),
@@ -858,11 +942,11 @@ class BatchStream:
                             self._dev_prev,
                         )
                     elif mode == "raw_active":
-                        fut, dev = item.pop("raw_fn")(
+                        fut, full, dev = item.pop("raw_fn")(
                             self.det_params, _jnp.asarray(item.pop("act"))
                         )
                     else:
-                        fut, dev, _ = self._compute_fused(
+                        fut, full, dev, _ = self._compute_fused(
                             self.det_params, self.cls_params,
                             _jnp.asarray(item.pop("flat")),
                             self._dev_pred_crops,
@@ -870,6 +954,7 @@ class BatchStream:
                     if self.delta:
                         self._dev_prev = dev
                     item["fut"] = fut
+                    item["fut_full"] = full
                     self.stage_stats["dispatch"].append(
                         _time.perf_counter() - _t0
                     )
@@ -906,11 +991,12 @@ class BatchStream:
                     elif "pred" in item:
                         item["_apply"] = self._finish_batch_fused(
                             item["frames"], item["metas"], item["fut"],
-                            item["pred"],
+                            item["pred"], item.get("fut_full"),
                         )
                     else:
                         item["_apply"] = self._finish_batch(
-                            item["frames"], item["metas"], item["fut"]
+                            item["frames"], item["metas"], item["fut"],
+                            item.get("fut_full"),
                         )
                 except BaseException as e:  # re-raised in collect_batch
                     self._delta_broken = True
@@ -972,13 +1058,14 @@ class BatchStream:
 
     def _run_compute(self, det_params, canvases_flat_u8):
         """Run the shared compute program on a decoded canvas plane.
-        Returns (packed|probs readback, canvas passthrough) — the 2-tuple
-        the non-fused dispatch modes expect."""
-        fut, dev, _ = self._compute_fused(
+        Returns (packed|probs readback, full-plane overflow fallback,
+        canvas passthrough) — the 3-tuple the non-fused dispatch modes
+        expect."""
+        fut, full, dev, _ = self._compute_fused(
             det_params, self.cls_params, canvases_flat_u8,
             self._dev_pred_crops,
         )
-        return fut, dev
+        return fut, full, dev
 
     def _get_active_progs(self, top: int, nh: int):
         """Lazily build small jitted DECODE programs that take ONLY the
@@ -1211,7 +1298,8 @@ class BatchStream:
                 x = crops[..., ::-1].astype(jnp.float32) / 255.0
                 logits = yolov8.forward_classify(params, cls_spec, x, jnp.float32)
                 probs = jax.nn.softmax(logits, axis=-1)
-                return probs.astype(jnp.float16).reshape(-1)  # f16 wire
+                # u8 wire like the batch classifier (see classify_batch)
+                return jnp.round(probs * 255).astype(jnp.uint8).reshape(-1)
 
             self._classify_small_progs[ns] = jax.jit(classify_small)
         return self._classify_small_progs[ns]
@@ -1220,14 +1308,16 @@ class BatchStream:
         """One dispatch chain for the whole batch step: canvas segs decode
         (small per-bucket program) -> crop-plane decode (segs bucket
         ``npk``, or a raw-slice program when ``npk < 0``) -> the shared
-        compute program (detect + classify). Returns ONE flat f32 readback
-        (packed detections | rank probabilities) plus the two decoded
-        planes that become the next batch's delta references. Steady state
-        is still one device_put and one fetch per batch — the chained
-        dispatches pipeline asynchronously and only the fetch pays the
-        tunnel's ~60 ms crossing stall — but a new payload bucket now
-        costs a seconds-cheap decode compile instead of re-compiling the
-        whole ~26 MB detect+classify executable."""
+        compute program (detect + classify). Returns ONE flat u8 readback
+        (count-bounded packed detections | u8 rank probabilities), the
+        resident full f16 detection plane (fetched only on count
+        overflow), and the two decoded planes that become the next
+        batch's delta references. Steady state is still one device_put
+        and one fetch per batch — the chained dispatches pipeline
+        asynchronously and only the fetch pays the tunnel's ~60 ms
+        crossing stall — but a new payload bucket costs a seconds-cheap
+        decode compile instead of re-compiling the whole ~26 MB
+        detect+classify executable."""
         key = (top, nh, npc, npk)
         if key not in self._fused_progs:
             nseg_c = self.B * nh * (self.imgsz // self._segw)
@@ -1257,10 +1347,11 @@ class BatchStream:
         q1, q2, q3, qr = segb // 8, segb // 4, segb * 3 // 8, segb
         lcm = int(np.lcm.reduce([q1, q2, q3, qr]))
         # Np bucket step: multiple of lcm(q1..qr) so every decoded view
-        # reshapes to whole rows; ~raw/8 (capped ~0.7 MB) keeps the program
-        # count low (each distinct bucket is one lazy compile) without the
-        # minimum bucket swamping small payloads
-        step = lcm * max(1, min(1024, raw_bytes // (8 * lcm)))
+        # reshapes to whole rows; ~raw/8 capped at 256*lcm (r5: was 1024 —
+        # the canvas bucket pad averaged 0.34 MB/batch of zeros; a 92 KB
+        # step cuts that ~4x for a handful of extra seconds-cheap decode
+        # compiles, all persistent-cached)
+        step = lcm * max(1, min(256, raw_bytes // (8 * lcm)))
         trailer = 3 * nseg + (nseg + 7) // 8 + (nseg + 1) // 2 + 3 * nseg
         cap = ((raw_bytes // 2 + step - 1) // step) * step + trailer
         return {
@@ -1268,6 +1359,14 @@ class BatchStream:
             "p2": np.zeros(nseg * q2, np.uint8),
             "p3": np.zeros(nseg * q3, np.uint8),
             "raw": np.zeros(nseg * qr, np.uint8),
+            # sparse-exception classes (8/9/10): deviation-mask rows (q1
+            # bytes each, like the 1-bit rows) + nibble/byte value streams
+            # packed contiguously across segments. Sized for the worst
+            # case the cost-based selection can emit (cost < raw's segb)
+            "m4": np.zeros(nseg * q1, np.uint8),
+            "m8": np.zeros(nseg * q1, np.uint8),
+            "nib": np.zeros(nseg * segb, np.uint8),
+            "byte": np.zeros(nseg * segb, np.uint8),
             "bias": np.zeros(nseg * 3, np.uint8),
             "cls": np.zeros(nseg, np.uint8),
             # payload buffers rotate with the staging pool: a dispatched
@@ -1289,7 +1388,8 @@ class BatchStream:
         raw_bytes = ns * ch * cw * 3
         counts = native.seg_encode(
             crops, prev, 0, ch, segw,
-            bufs["p1"], bufs["p2"], bufs["p3"], bufs["raw"], bufs["bias"],
+            bufs["p1"], bufs["p2"], bufs["p3"], bufs["raw"], bufs["m4"],
+            bufs["m8"], bufs["nib"], bufs["byte"], bufs["bias"],
             bufs["cls"],
         )
         if counts is None:
@@ -1350,16 +1450,18 @@ class BatchStream:
 
     @staticmethod
     def _assemble_segs_payload(bufs, pay_i, counts, qs, nseg, nslots, raw_bytes):
-        """Lay out [p1 | p2 | p3 | raw | bias exceptions | pad |
+        """Lay out [p1 | p2 | p3 | raw | m4 masks | m8 masks | nibble
+        exceptions | byte exceptions | bias exceptions | pad |
         slot bias defaults | flags | cls] in one flat buffer (class blocks
-        aligned so the device decoder's rows land exactly). The dense
+        aligned so the device decoder's rows land exactly; the mask blocks
+        are q1-row-aligned by construction since qr % q1 == 0). The dense
         per-segment bias block compresses to a 3-byte default per slot
         (the modal bias — the photometric shift) + a 1-bit flag per
         segment + exception triples for the (clip-boundary) segments that
         deviate. Returns (payload_view, np_bucket) or None when not
         beneficial."""
         q1, q2, q3, qr = qs
-        k1, k2, k3, kr = counts
+        k1, k2, k3, kr, k4m, k10m, nz4, nz8 = counts
         sps = nseg // nslots  # segments per slot
         bias = bufs["bias"][: nseg * 3].reshape(nslots, sps, 3)
         # per-slot per-channel modal bias via one bincount per channel
@@ -1379,7 +1481,12 @@ class BatchStream:
         b2p = ((q1 * k1 + q2 - 1) // q2) * q2  # 2-bit block: % q2 == 0
         b3p = ((b2p + q2 * k2 + q3 - 1) // q3) * q3  # 3-bit block: % q3 == 0
         brp = ((b3p + q3 * k3 + qr - 1) // qr) * qr  # raw block: % qr == 0
-        bep = brp + qr * kr  # bias-exception block (unaligned: byte gathers)
+        m4p = brp + qr * kr  # mask blocks: % q1 == 0 (qr % q1 == 0)
+        m8p = m4p + q1 * k4m
+        nibp = m8p + q1 * k10m  # value streams (unaligned: byte gathers)
+        nibb = (nz4 + 1) // 2
+        bytp = nibp + nibb
+        bep = bytp + nz8  # bias-exception block
         used = bep + 3 * ke
         step = bufs["step"]
         np_bucket = max(step, ((used + step - 1) // step) * step)
@@ -1393,7 +1500,11 @@ class BatchStream:
         pay[b2p + q2 * k2 : b3p] = 0
         pay[b3p : b3p + q3 * k3] = bufs["p3"][: q3 * k3]
         pay[b3p + q3 * k3 : brp] = 0
-        pay[brp:bep] = bufs["raw"][: qr * kr]
+        pay[brp:m4p] = bufs["raw"][: qr * kr]
+        pay[m4p:m8p] = bufs["m4"][: q1 * k4m]
+        pay[m8p:nibp] = bufs["m8"][: q1 * k10m]
+        pay[nibp:bytp] = bufs["nib"][:nibb]
+        pay[bytp:bep] = bufs["byte"][:nz8]
         pay[bep:used] = exc.reshape(-1)
         pay[used:np_bucket] = 0  # bucket pad: zeros compress in transit
         o = np_bucket
@@ -1426,14 +1537,16 @@ class BatchStream:
             self._segs_bufs[nh] = bufs
         counts = native.seg_encode(
             staging, self._prev_staging, top, nh, segw,
-            bufs["p1"], bufs["p2"], bufs["p3"], bufs["raw"], bufs["bias"],
+            bufs["p1"], bufs["p2"], bufs["p3"], bufs["raw"], bufs["m4"],
+            bufs["m8"], bufs["nib"], bufs["byte"], bufs["bias"],
             bufs["cls"],
         )
         if counts is None:
             return None
         # diagnostic: per-class segment counts for this canvas encode
-        # (k1/k2/k3/kraw; const+clamp-shift = nseg - sum) — bench and the
-        # stage probe read these to attribute link bytes to delta classes
+        # (k1/k2/k3/kraw/kmask4/kmask8/nz_nib/nz_byte; const+clamp-shift =
+        # nseg - k1-k2-k3-kraw-kmask4-kmask8) — bench and the stage probe
+        # read these to attribute link bytes to delta classes
         self.stage_stats["canvas_seg_counts"].append(
             (nseg,) + tuple(counts)
         )
@@ -1567,17 +1680,12 @@ class BatchStream:
         per-bucket decode compiles of the first warm batches, instead of
         serially inside them. Returns the outputs so a caller may fetch
         one element to block until the set is live."""
-        import jax.numpy as _jnp
-
         outs = [
             self._compute_fused(
                 self.det_params, self.cls_params, self._dev_prev,
                 self._dev_pred_crops,
             ),
             self._classify(self.cls_params, self._dev_pred_crops),
-            self._probs_tail(
-                _jnp.zeros((self._nd_flat + 13,), _jnp.float32)
-            ),
         ]
         return outs
 
@@ -1838,6 +1946,8 @@ class BatchStream:
     def _apply_rank_prob(self, results, bi, di, prob_row) -> None:
         from manual_yolo_tpu.game.text import VALID_CARD_RANKS, normalize_rank_text
 
+        if prob_row.dtype == np.uint8:  # u8 wire probabilities
+            prob_row = prob_row.astype(np.float32) / 255.0
         t = int(np.argmax(prob_row))
         conf_t = float(prob_row[t])
         cname = results[bi][di]["class_name"]
@@ -1883,18 +1993,43 @@ class BatchStream:
         self._pred_rects = out
         self._pred_ages = ages_out
 
-    def _finish_batch(self, frames, metas, fut):
+    def _unpack_dets(self, flat_u8, fut_full):
+        """Host side of the u8 packed wire format: (B, readback_det, 12)
+        u8 -> (B, n, 7) f32 in the classic packed layout. When any frame's
+        capped count exceeds the readback bound, fetch the resident full
+        f16 plane instead (one extra round trip, counted)."""
+        arr = flat_u8[: self._nd_flat].reshape(self.B, self.readback_det, 12)
+        cnt = arr[:, 0, 11]
+        if fut_full is not None and (cnt > self.readback_det).any():
+            self.readback_overflows += 1
+            return (
+                np.asarray(fut_full)
+                .astype(np.float32)
+                .reshape(self.B, self.max_det, 7)
+            )
+        u16 = (
+            arr[:, :, :10]
+            .copy()
+            .view(np.uint16)
+            .reshape(self.B, self.readback_det, 5)
+            .astype(np.float32)
+        )
+        out = np.empty((self.B, self.readback_det, 7), np.float32)
+        out[:, :, :4] = u16[:, :, :4] / 16.0
+        out[:, :, 4] = u16[:, :, 4] / 65535.0
+        out[:, :, 5] = arr[:, :, 10]
+        out[:, :, 6] = cnt.astype(np.float32)[:, None]
+        return out
+
+    def _finish_batch(self, frames, metas, fut, fut_full=None):
         """Fetch detect results, gather rank crops, DISPATCH the classify
         (not awaited — the applier thread blocks on the probabilities and
         applies them, hiding the round trip like the fused path's miss
         fallback). Returns (results, probs_future, rows, pairs)."""
         t0 = time.perf_counter()
         # every mode returns packed|probs from the shared compute program;
-        # the probs tail here came from stale/zero crops — sliced off.
-        # f16 on the wire; upcast once so host box math runs f32
-        packed = np.asarray(fut)[: self._nd_flat].astype(np.float32).reshape(
-            self.B, self.max_det, 7
-        )
+        # the probs tail here came from stale/zero crops — sliced off
+        packed = self._unpack_dets(np.asarray(fut), fut_full)
         t1 = time.perf_counter()
         self.stage_stats["fetch_wait"].append(t1 - t0)
         results, all_cands = self._assemble_dets(frames, metas, packed)
@@ -1913,7 +2048,7 @@ class BatchStream:
         self.stage_stats["finish_tail"].append(time.perf_counter() - t1)
         return results, probs_fut, self.B * self.max_rank, crop_refs
 
-    def _finish_batch_fused(self, frames, metas, fut, pred):
+    def _finish_batch_fused(self, frames, metas, fut, pred, fut_full=None):
         """Fused-mode tail, stage A: the fetch already carries the rank
         probabilities computed on the PREDICTED crops. Each actual
         detection whose stabilised rect matches its frame's prediction
@@ -1922,12 +2057,13 @@ class BatchStream:
         awaited — jax dispatch is async; the applier thread blocks on the
         result). Returns (results, probs_future, bucket, miss_refs)."""
         t0 = time.perf_counter()
-        flat = np.asarray(fut).astype(np.float32)  # f16 wire -> f32 host
+        flat = np.asarray(fut)  # u8 wire
         t1 = time.perf_counter()
         self.stage_stats["fetch_wait"].append(t1 - t0)
-        nd = self.B * self.max_det * 7
-        packed = flat[:nd].reshape(self.B, self.max_det, 7)
-        fused_probs = flat[nd:].reshape(self.B * self.max_rank, -1)
+        packed = self._unpack_dets(flat, fut_full)
+        fused_probs = flat[self._nd_flat :].reshape(
+            self.B * self.max_rank, -1
+        )  # u8 rows; _apply_rank_prob rescales
         results, all_cands = self._assemble_dets(frames, metas, packed)
         miss_crops = None
         miss_refs: List[Tuple[int, int]] = []

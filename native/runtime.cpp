@@ -28,6 +28,7 @@
 #include <new>
 #include <unistd.h>
 #include <vector>
+#include <vector>
 
 extern "C" {
 
@@ -465,24 +466,54 @@ int32_t tribit_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
 //                    2-bit block) / 7 (class 7, 3-bit block). Before this
 //                    class those segments fell to raw (120 B vs 30/45 B) —
 //                    measured 13.5%% of a jittered bench stream's segments.
+//   class 8 (sparse nibble, const base): cur = prev + bias + r where bias
+//                    is the per-channel MODAL delta and r != 0 on few
+//                    bytes, all |r| <= 7. Payload = a 1-bit deviation mask
+//                    (segb/8 B, rides its own mask block) + one signed
+//                    nibble per deviating byte in a shared nibble stream.
+//                    Round-5 measurement: payload segments' residuals are
+//                    SPARSE (median 14 deviating of 120 bytes on the bench
+//                    stream), so mask+nibbles beats the dense 2/3-bit
+//                    classes on most of their mass.
+//   class 9 (sparse nibble, shift base): cur = clamp(prev + j) + r, r as
+//                    in class 8 but against the slot's clamp-shift
+//                    prediction (two-sided |r| <= 7 — strictly more
+//                    general than class 6/7's one-sided window). bias
+//                    byte = (j + 64) & 0x7F.
+//   class 10 (sparse byte, const base): as class 8 but r unbounded (mod
+//                    256), one BYTE per deviating position in a shared
+//                    byte stream — catches sparse repaints (sprite edges)
+//                    that fell to raw.
 //
-// Biases are clipped toward 0 (zero-delta regions stay maximally
-// transit-compressible); all arithmetic is mod 256 -> bit-exact. Payloads
-// append densely per class in scan order (the device recovers each
-// segment's position from a cumsum over the class array — no offsets on
-// the wire). Never fails; out_counts = {n_1bit, n_2bit, n_3bit, n_raw}.
+// Every payload segment takes the BYTE-CHEAPEST class (computed exactly:
+// sparse classes cost segb/8 + ceil(nz/2) or segb/8 + nz); ties prefer
+// the dense classes in order 2,6,3,7,8,9,10,raw (numpy mirror matches
+// bit-for-bit). Biases of the dense classes stay clipped toward 0
+// (zero-delta regions remain maximally transit-compressible); all
+// arithmetic is mod 256 -> bit-exact. Payloads append densely per class
+// in scan order (the device recovers each segment's position from a
+// cumsum over the class array — no offsets on the wire); nibble/byte
+// exception streams pack contiguously ACROSS segments (the device derives
+// each segment's stream offset from an exclusive cumsum of mask
+// popcounts). Never fails; out_counts = {n_1bit, n_2bit, n_3bit, n_raw,
+// n_mask4 (classes 8+9), n_mask8 (class 10), nz_nibbles, nz_bytes}.
 // Requires segw % 8 == 0 (so segb % 24 == 0: whole 24-lane blocks only).
 // ---------------------------------------------------------------------------
 int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
                    int32_t nh, int32_t width, int64_t slot_stride,
                    int32_t segw, uint8_t *out_p1, uint8_t *out_p2,
-                   uint8_t *out_p3, uint8_t *out_raw, uint8_t *out_bias,
-                   uint8_t *out_cls, int64_t *out_counts) {
+                   uint8_t *out_p3, uint8_t *out_raw, uint8_t *out_m4,
+                   uint8_t *out_m8, uint8_t *out_nib, uint8_t *out_byte,
+                   uint8_t *out_bias, uint8_t *out_cls,
+                   int64_t *out_counts) {
   if (segw % 8 != 0 || width % segw != 0) return 0;
   const int64_t row_bytes = (int64_t)width * 3;
   const int32_t nsegrow = width / segw;
   const int64_t segb = (int64_t)segw * 3;  // % 24 == 0
   int64_t k1 = 0, k2 = 0, k3 = 0, kr = 0, seg_i = 0;
+  int64_t k4m = 0, k10m = 0, nz4 = 0, nz8 = 0;
+  std::vector<uint8_t> xbuf((size_t)segb);  // recentered deltas scratch
+  uint8_t lut[3][256];  // per-slot clamp-shift table: lut[ch][p]=clamp(p+j)
   for (int32_t s = 0; s < nslots; ++s) {
     // per-slot clamp-shift candidate: first safe pixel per channel
     int16_t jj[3] = {0, 0, 0};
@@ -504,13 +535,18 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
       jvalid = remaining == 0 && jj[0] >= -63 && jj[0] <= 63 &&
                jj[1] >= -63 && jj[1] <= 63 && jj[2] >= -63 && jj[2] <= 63;
     }
+    if (jvalid) {
+      for (int ch = 0; ch < 3; ++ch)
+        for (int v = 0; v < 256; ++v) {
+          const int16_t x = (int16_t)(v + jj[ch]);
+          lut[ch][v] = (uint8_t)(x < 0 ? 0 : (x > 255 ? 255 : x));
+        }
+    }
     // whole-slot fast path: when EVERY byte of the slot verifies as
     // clamp(prev + j) (the global-photometric-jitter case), classify all
     // its segments 5 in one branchless pass — no per-segment min/max or
     // verify work. Row-wise early exit keeps repaint slots cheap.
     if (jvalid && (jj[0] != 0 || jj[1] != 0 || jj[2] != 0)) {
-      int16_t j48[48];
-      for (int k = 0; k < 48; ++k) j48[k] = jj[k % 3];
       bool slot_shift = true;
       for (int32_t r = 0; r < nh && slot_shift; ++r) {
         const uint8_t *crow =
@@ -518,13 +554,10 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
         const uint8_t *prow =
             prev + (size_t)s * slot_stride + (size_t)r * row_bytes;
         uint8_t acc = 0;
-        for (int64_t i = 0; i < row_bytes; i += 48) {
-          const int kmax = row_bytes - i < 48 ? (int)(row_bytes - i) : 48;
-          for (int k = 0; k < kmax; ++k) {
-            int16_t v = (int16_t)prow[i + k] + j48[k];
-            v = v < 0 ? 0 : (v > 255 ? 255 : v);
-            acc |= (uint8_t)((uint8_t)v ^ crow[i + k]);
-          }
+        int ch = 0;
+        for (int64_t i = 0; i < row_bytes; ++i) {
+          acc |= (uint8_t)(lut[ch][prow[i]] ^ crow[i]);
+          ch = ch == 2 ? 0 : ch + 1;
         }
         slot_shift = acc == 0;
       }
@@ -555,6 +588,7 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
         // mod-256 throughout, so a wrapped delta (|d| > 127) classifying
         // via its residue is still bit-exact.
         uint8_t mnv[24], mxv[24];
+        uint8_t *xv = xbuf.data();  // recentered deltas, reused downstream
         for (int k = 0; k < 24; ++k) {
           mnv[k] = 255;
           mxv[k] = 0;
@@ -562,6 +596,7 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
         for (int64_t i = 0; i + 24 <= segb; i += 24) {
           for (int k = 0; k < 24; ++k) {
             uint8_t v = (uint8_t)((uint8_t)(c[i + k] - p[i + k]) ^ 0x80);
+            xv[i + k] = v;
             if (v < mnv[k]) mnv[k] = v;
             if (v > mxv[k]) mxv[k] = v;
           }
@@ -579,75 +614,6 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
         for (int ch = 0; ch < 3; ++ch)
           if (cmx[ch] - cmn[ch] > span) span = (int16_t)(cmx[ch] - cmn[ch]);
         uint8_t *bias = out_bias + (size_t)seg_i * 3;
-        // shift-residual classes 6/7: clamp-shift prediction plus a small
-        // one-sided residual; tried when the plain span classes would be
-        // byte-costlier (after class 2, before class 3; after class 3,
-        // before raw)
-        auto try_shift_residual = [&](int16_t lim) -> bool {
-          int16_t emn[3] = {32767, 32767, 32767};
-          int16_t emx[3] = {-32768, -32768, -32768};
-          for (int64_t i = 0; i < segb; ++i) {
-            int16_t v = (int16_t)p[i] + jj[i % 3];
-            v = v < 0 ? 0 : (v > 255 ? 255 : v);
-            const int16_t e = (int16_t)c[i] - v;
-            const int ch = (int)(i % 3);
-            if (e < emn[ch]) emn[ch] = e;
-            if (e > emx[ch]) emx[ch] = e;
-          }
-          int16_t off[3];
-          for (int ch = 0; ch < 3; ++ch) {
-            if (emn[ch] >= 0 && emx[ch] <= lim) {
-              off[ch] = 0;
-            } else if (emx[ch] <= 0 && emn[ch] >= -lim) {
-              off[ch] = lim;
-            } else {
-              return false;
-            }
-          }
-          for (int ch = 0; ch < 3; ++ch)
-            bias[ch] = (uint8_t)(((jj[ch] + 64) & 0x7F) |
-                                 (off[ch] ? 0x80 : 0));
-          if (lim == 3) {
-            out_cls[seg_i] = 6;
-            uint8_t *o = out_p2 + (size_t)k2 * (segb / 4);
-            for (int64_t i = 0; i + 4 <= segb; i += 4, ++o) {
-              uint8_t v4[4];
-              for (int k = 0; k < 4; ++k) {
-                int16_t pv = (int16_t)p[i + k] + jj[(i + k) % 3];
-                pv = pv < 0 ? 0 : (pv > 255 ? 255 : pv);
-                v4[k] = (uint8_t)(((int16_t)c[i + k] - pv +
-                                   off[(i + k) % 3]) & 3);
-              }
-              *o = (uint8_t)(v4[0] | (uint8_t)(v4[1] << 2) |
-                             (uint8_t)(v4[2] << 4) | (uint8_t)(v4[3] << 6));
-            }
-            ++k2;
-          } else {
-            out_cls[seg_i] = 7;
-            uint8_t *o = out_p3 + (size_t)k3 * (segb * 3 / 8);
-            uint8_t w[24];
-            for (int64_t i = 0; i + 24 <= segb; i += 24, o += 9) {
-              for (int k = 0; k < 24; ++k) {
-                int16_t pv = (int16_t)p[i + k] + jj[(i + k) % 3];
-                pv = pv < 0 ? 0 : (pv > 255 ? 255 : pv);
-                w[k] = (uint8_t)(((int16_t)c[i + k] - pv +
-                                  off[(i + k) % 3]) & 7);
-              }
-              for (int gg = 0; gg < 3; ++gg) {
-                const uint8_t *v = w + gg * 8;
-                o[gg * 3 + 0] = (uint8_t)(v[0] | (uint8_t)(v[1] << 3) |
-                                          (uint8_t)((v[2] & 3) << 6));
-                o[gg * 3 + 1] =
-                    (uint8_t)((v[2] >> 2) | (uint8_t)(v[3] << 1) |
-                              (uint8_t)(v[4] << 4) | (uint8_t)((v[5] & 1) << 7));
-                o[gg * 3 + 2] = (uint8_t)((v[5] >> 1) | (uint8_t)(v[6] << 2) |
-                                          (uint8_t)(v[7] << 5));
-              }
-            }
-            ++k3;
-          }
-          return true;
-        };
         bool shifted = false;
         if (span != 0 && jvalid) {
           // envelope pre-check (implied by a passing verify: clamp-shift
@@ -661,11 +627,10 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
           }
           if (env) {
             bool ok = true;
+            int vch = 0;
             for (int64_t i = 0; i < segb && ok; ++i) {
-              int16_t v = (int16_t)p[i] + jj[i % 3];
-              if (v < 0) v = 0;
-              if (v > 255) v = 255;
-              ok = c[i] == (uint8_t)v;
+              ok = c[i] == lut[vch][p[i]];
+              vch = vch == 2 ? 0 : vch + 1;
             }
             if (ok) {
               shifted = true;
@@ -703,65 +668,299 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
             }
           }
           ++k1;
-        } else if (span <= 3) {
-          out_cls[seg_i] = 2;
-          uint8_t add12[12];  // (2 - bias) per position, period lcm(3, 4)
-          for (int ch = 0; ch < 3; ++ch) {
-            int16_t b = (int16_t)(cmx[ch] - 1);
-            if (b < 0) b = 0;
-            if (b > cmn[ch] + 2) b = (int16_t)(cmn[ch] + 2);
-            bias[ch] = (uint8_t)b;
-            for (int rep = ch; rep < 12; rep += 3) add12[rep] = (uint8_t)(2 - b);
-          }
-          uint8_t *o = out_p2 + (size_t)k2 * (segb / 4);
-          for (int64_t i = 0; i + 12 <= segb; i += 12, o += 3) {
-            uint8_t v[12];
-            for (int k = 0; k < 12; ++k)
-              v[k] = (uint8_t)((uint8_t)(c[i + k] - p[i + k] + add12[k]) & 3);
-            o[0] = (uint8_t)(v[0] | (uint8_t)(v[1] << 2) |
-                             (uint8_t)(v[2] << 4) | (uint8_t)(v[3] << 6));
-            o[1] = (uint8_t)(v[4] | (uint8_t)(v[5] << 2) |
-                             (uint8_t)(v[6] << 4) | (uint8_t)(v[7] << 6));
-            o[2] = (uint8_t)(v[8] | (uint8_t)(v[9] << 2) |
-                             (uint8_t)(v[10] << 4) | (uint8_t)(v[11] << 6));
-          }
-          ++k2;
-        } else if (jvalid && try_shift_residual(3)) {
-          // class 6 emitted (2-bit block: 30 B beats class 3's 45)
-        } else if (span <= 7) {
-          out_cls[seg_i] = 3;
-          uint8_t add[6];
-          for (int ch = 0; ch < 3; ++ch) {
-            int16_t b = (int16_t)(cmx[ch] - 3);
-            if (b < 0) b = 0;
-            if (b > cmn[ch] + 4) b = (int16_t)(cmn[ch] + 4);
-            bias[ch] = (uint8_t)b;
-            add[ch] = add[ch + 3] = (uint8_t)(4 - b);
-          }
-          uint8_t *o = out_p3 + (size_t)k3 * (segb * 3 / 8);
-          uint8_t v[24];
-          for (int64_t i = 0; i + 24 <= segb; i += 24, o += 9) {
-            for (int k = 0; k < 24; ++k)
-              v[k] = (uint8_t)((uint8_t)(c[i + k] - p[i + k] + add[k % 3]) & 7);
-            for (int gg = 0; gg < 3; ++gg) {
-              const uint8_t *w = v + gg * 8;
-              o[gg * 3 + 0] = (uint8_t)(w[0] | (uint8_t)(w[1] << 3) |
-                                        (uint8_t)((w[2] & 3) << 6));
-              o[gg * 3 + 1] =
-                  (uint8_t)((w[2] >> 2) | (uint8_t)(w[3] << 1) |
-                            (uint8_t)(w[4] << 4) | (uint8_t)((w[5] & 1) << 7));
-              o[gg * 3 + 2] = (uint8_t)((w[5] >> 1) | (uint8_t)(w[6] << 2) |
-                                        (uint8_t)(w[7] << 5));
+        } else {
+          // ---- exact byte-cost selection: dense 2/6/3/7 vs sparse 8/9/10
+          // vs raw (preference on cost ties: 2,6,3,7,8,9,10,raw — the
+          // numpy mirror replicates this order bit-for-bit)
+          const int32_t q1b = (int32_t)(segb / 8);
+          const int32_t q2b = (int32_t)(segb / 4);
+          const int32_t q3b = (int32_t)(segb * 3 / 8);
+          const int32_t INF = 1 << 30;
+          // const-modal bias (ties -> smallest value) from the recentered
+          // histogram; bx = the bias in the recentered-u8 domain
+          int16_t biasc[3];
+          uint8_t bx24[24];
+          {
+            int16_t hist[256];
+            for (int ch = 0; ch < 3; ++ch) {
+              const uint8_t base = (uint8_t)(cmn[ch] + 128);
+              const int win = (int)(cmx[ch] - cmn[ch]) + 1;
+              for (int k = 0; k < win; ++k) hist[k] = 0;
+              for (int64_t i = ch; i < segb; i += 3)
+                ++hist[(uint8_t)(xv[i] - base)];
+              int bi = 0;
+              for (int k = 1; k < win; ++k)
+                if (hist[k] > hist[bi]) bi = k;
+              biasc[ch] = (int16_t)(cmn[ch] + bi);
+              for (int rep = ch; rep < 24; rep += 3)
+                bx24[rep] = (uint8_t)(base + bi);
             }
           }
-          ++k3;
-        } else if (jvalid && try_shift_residual(7)) {
-          // class 7 emitted (3-bit block: 45 B beats raw's 120)
-        } else {
-          out_cls[seg_i] = 4;
-          bias[0] = bias[1] = bias[2] = 0;
-          std::memcpy(out_raw + (size_t)kr * segb, c, (size_t)segb);
-          ++kr;
+          // branchless const-residual stats in u8 lanes. Admission for the
+          // nibble class is the mod-256 window r in [-8, 7] — exactly the
+          // range a signed nibble decodes bit-exactly, so alias cases
+          // (|true r| huge but congruent) are admitted AND correct.
+          int32_t nz_c = 0;
+          uint8_t bad8 = 0;
+          {
+            uint8_t cnt24[24] = {0}, bad24[24] = {0};
+            for (int64_t i = 0; i + 24 <= segb; i += 24) {
+              for (int k = 0; k < 24; ++k) {
+                const uint8_t u = (uint8_t)(xv[i + k] - bx24[k]);
+                cnt24[k] += (uint8_t)(u != 0);
+                bad24[k] |= (uint8_t)((uint8_t)(u + 8) > 15);
+              }
+            }
+            for (int k = 0; k < 24; ++k) {
+              nz_c += cnt24[k];
+              bad8 |= bad24[k];
+            }
+          }
+          // shift-base residual stats (classes 6/7/9); the one/two-sided
+          // windows are mod-256 (admission == decodability, as above).
+          // When no byte of the segment can clamp under j (per-lane
+          // threshold check on prev — the common mid-range case), e is
+          // just (delta - j) mod 256 and the whole pass runs in u8 lanes;
+          // only clip-danger segments take the scalar LUT walk.
+          int32_t nz_s = 0;
+          bool fit6 = jvalid, fit7 = jvalid, fit9 = jvalid;
+          int16_t off6[3] = {0, 0, 0}, off7[3] = {0, 0, 0};
+          if (jvalid) {
+            uint8_t jm24[24], dhi24[24], dlo24[24];
+            for (int k = 0; k < 24; ++k) {
+              const int ch = k % 3;
+              jm24[k] = (uint8_t)jj[ch];
+              dhi24[k] = jj[ch] > 0 ? (uint8_t)(255 - jj[ch]) : (uint8_t)255;
+              dlo24[k] = jj[ch] < 0 ? (uint8_t)(-jj[ch]) : (uint8_t)0;
+            }
+            uint8_t danger24[24] = {0};
+            for (int64_t i = 0; i + 24 <= segb; i += 24)
+              for (int k = 0; k < 24; ++k) {
+                const uint8_t pv = p[i + k];
+                danger24[k] |=
+                    (uint8_t)((pv > dhi24[k]) | (pv < dlo24[k]));
+              }
+            uint8_t danger = 0;
+            for (int k = 0; k < 24; ++k) danger |= danger24[k];
+            uint8_t cnt24[24] = {0}, bad24[24] = {0};
+            uint8_t p6a[24] = {0}, n6a[24] = {0};
+            uint8_t p7a[24] = {0}, n7a[24] = {0};
+            if (!danger) {
+              for (int64_t i = 0; i + 24 <= segb; i += 24)
+                for (int k = 0; k < 24; ++k) {
+                  const uint8_t e =
+                      (uint8_t)((uint8_t)(xv[i + k] ^ 0x80) - jm24[k]);
+                  cnt24[k] += (uint8_t)(e != 0);
+                  bad24[k] |= (uint8_t)((uint8_t)(e + 8) > 15);
+                  p6a[k] |= (uint8_t)(e > 3);
+                  n6a[k] |= (uint8_t)((uint8_t)(e + 3) > 3);
+                  p7a[k] |= (uint8_t)(e > 7);
+                  n7a[k] |= (uint8_t)((uint8_t)(e + 7) > 7);
+                }
+            } else {
+              int ch = 0;
+              for (int64_t i = 0; i < segb; ++i) {
+                const uint8_t e = (uint8_t)(c[i] - lut[ch][p[i]]);
+                cnt24[ch] += (uint8_t)(e != 0);
+                bad24[ch] |= (uint8_t)((uint8_t)(e + 8) > 15);
+                p6a[ch] |= (uint8_t)(e > 3);
+                n6a[ch] |= (uint8_t)((uint8_t)(e + 3) > 3);
+                p7a[ch] |= (uint8_t)(e > 7);
+                n7a[ch] |= (uint8_t)((uint8_t)(e + 7) > 7);
+                ch = ch == 2 ? 0 : ch + 1;
+              }
+            }
+            uint8_t bad9 = 0;
+            uint8_t pos6[3] = {0, 0, 0}, neg6[3] = {0, 0, 0};
+            uint8_t pos7[3] = {0, 0, 0}, neg7[3] = {0, 0, 0};
+            for (int k = 0; k < 24; ++k) {
+              const int ch = k % 3;
+              nz_s += cnt24[k];
+              bad9 |= bad24[k];
+              pos6[ch] |= p6a[k];
+              neg6[ch] |= n6a[k];
+              pos7[ch] |= p7a[k];
+              neg7[ch] |= n7a[k];
+            }
+            fit9 = !bad9;
+            for (int c3i = 0; c3i < 3; ++c3i) {
+              if (!pos6[c3i]) off6[c3i] = 0;
+              else if (!neg6[c3i]) off6[c3i] = 3;
+              else fit6 = false;
+              if (!pos7[c3i]) off7[c3i] = 0;
+              else if (!neg7[c3i]) off7[c3i] = 7;
+              else fit7 = false;
+            }
+          }
+          const int32_t c2c = span <= 3 ? q2b : INF;
+          const int32_t c6c = fit6 ? q2b : INF;
+          const int32_t c3c = span <= 7 ? q3b : INF;
+          const int32_t c7c = fit7 ? q3b : INF;
+          const int32_t c8c = !bad8 ? q1b + (nz_c + 1) / 2 : INF;
+          const int32_t c9c = fit9 ? q1b + (nz_s + 1) / 2 : INF;
+          const int32_t c10c = q1b + nz_c;
+          int32_t best = (int32_t)segb;  // raw
+          if (c2c < best) best = c2c;
+          if (c6c < best) best = c6c;
+          if (c3c < best) best = c3c;
+          if (c7c < best) best = c7c;
+          if (c8c < best) best = c8c;
+          if (c9c < best) best = c9c;
+          if (c10c < best) best = c10c;
+          if (c2c == best) {
+            out_cls[seg_i] = 2;
+            uint8_t add12[12];  // (2 - bias) per position, period lcm(3, 4)
+            for (int ch = 0; ch < 3; ++ch) {
+              int16_t b = (int16_t)(cmx[ch] - 1);
+              if (b < 0) b = 0;
+              if (b > cmn[ch] + 2) b = (int16_t)(cmn[ch] + 2);
+              bias[ch] = (uint8_t)b;
+              for (int rep = ch; rep < 12; rep += 3)
+                add12[rep] = (uint8_t)(2 - b);
+            }
+            uint8_t *o = out_p2 + (size_t)k2 * (segb / 4);
+            for (int64_t i = 0; i + 12 <= segb; i += 12, o += 3) {
+              uint8_t v[12];
+              for (int k = 0; k < 12; ++k)
+                v[k] = (uint8_t)((uint8_t)(c[i + k] - p[i + k] + add12[k]) & 3);
+              o[0] = (uint8_t)(v[0] | (uint8_t)(v[1] << 2) |
+                               (uint8_t)(v[2] << 4) | (uint8_t)(v[3] << 6));
+              o[1] = (uint8_t)(v[4] | (uint8_t)(v[5] << 2) |
+                               (uint8_t)(v[6] << 4) | (uint8_t)(v[7] << 6));
+              o[2] = (uint8_t)(v[8] | (uint8_t)(v[9] << 2) |
+                               (uint8_t)(v[10] << 4) | (uint8_t)(v[11] << 6));
+            }
+            ++k2;
+          } else if (c6c == best) {
+            out_cls[seg_i] = 6;
+            for (int ch = 0; ch < 3; ++ch)
+              bias[ch] = (uint8_t)(((jj[ch] + 64) & 0x7F) |
+                                   (off6[ch] ? 0x80 : 0));
+            uint8_t *o = out_p2 + (size_t)k2 * (segb / 4);
+            for (int64_t i = 0; i + 4 <= segb; i += 4, ++o) {
+              uint8_t v4[4];
+              for (int k = 0; k < 4; ++k) {
+                const int ch = (int)((i + k) % 3);
+                v4[k] = (uint8_t)(
+                    (uint8_t)((uint8_t)(c[i + k] - lut[ch][p[i + k]]) +
+                              off6[ch]) & 3);
+              }
+              *o = (uint8_t)(v4[0] | (uint8_t)(v4[1] << 2) |
+                             (uint8_t)(v4[2] << 4) | (uint8_t)(v4[3] << 6));
+            }
+            ++k2;
+          } else if (c3c == best) {
+            out_cls[seg_i] = 3;
+            uint8_t add[6];
+            for (int ch = 0; ch < 3; ++ch) {
+              int16_t b = (int16_t)(cmx[ch] - 3);
+              if (b < 0) b = 0;
+              if (b > cmn[ch] + 4) b = (int16_t)(cmn[ch] + 4);
+              bias[ch] = (uint8_t)b;
+              add[ch] = add[ch + 3] = (uint8_t)(4 - b);
+            }
+            uint8_t *o = out_p3 + (size_t)k3 * (segb * 3 / 8);
+            uint8_t v[24];
+            for (int64_t i = 0; i + 24 <= segb; i += 24, o += 9) {
+              for (int k = 0; k < 24; ++k)
+                v[k] =
+                    (uint8_t)((uint8_t)(c[i + k] - p[i + k] + add[k % 3]) & 7);
+              for (int gg = 0; gg < 3; ++gg) {
+                const uint8_t *w = v + gg * 8;
+                o[gg * 3 + 0] = (uint8_t)(w[0] | (uint8_t)(w[1] << 3) |
+                                          (uint8_t)((w[2] & 3) << 6));
+                o[gg * 3 + 1] =
+                    (uint8_t)((w[2] >> 2) | (uint8_t)(w[3] << 1) |
+                              (uint8_t)(w[4] << 4) | (uint8_t)((w[5] & 1) << 7));
+                o[gg * 3 + 2] = (uint8_t)((w[5] >> 1) | (uint8_t)(w[6] << 2) |
+                                          (uint8_t)(w[7] << 5));
+              }
+            }
+            ++k3;
+          } else if (c7c == best) {
+            out_cls[seg_i] = 7;
+            for (int ch = 0; ch < 3; ++ch)
+              bias[ch] = (uint8_t)(((jj[ch] + 64) & 0x7F) |
+                                   (off7[ch] ? 0x80 : 0));
+            uint8_t *o = out_p3 + (size_t)k3 * (segb * 3 / 8);
+            uint8_t w[24];
+            for (int64_t i = 0; i + 24 <= segb; i += 24, o += 9) {
+              for (int k = 0; k < 24; ++k) {
+                const int ch = k % 3;
+                w[k] = (uint8_t)(
+                    (uint8_t)((uint8_t)(c[i + k] - lut[ch][p[i + k]]) +
+                              off7[ch]) & 7);
+              }
+              for (int gg = 0; gg < 3; ++gg) {
+                const uint8_t *v = w + gg * 8;
+                o[gg * 3 + 0] = (uint8_t)(v[0] | (uint8_t)(v[1] << 3) |
+                                          (uint8_t)((v[2] & 3) << 6));
+                o[gg * 3 + 1] =
+                    (uint8_t)((v[2] >> 2) | (uint8_t)(v[3] << 1) |
+                              (uint8_t)(v[4] << 4) | (uint8_t)((v[5] & 1) << 7));
+                o[gg * 3 + 2] = (uint8_t)((v[5] >> 1) | (uint8_t)(v[6] << 2) |
+                                          (uint8_t)(v[7] << 5));
+              }
+            }
+            ++k3;
+          } else if (c8c == best) {
+            out_cls[seg_i] = 8;
+            for (int ch = 0; ch < 3; ++ch) bias[ch] = (uint8_t)biasc[ch];
+            uint8_t *m = out_m4 + (size_t)k4m * q1b;
+            for (int32_t b = 0; b < q1b; ++b) m[b] = 0;
+            int ch = 0;
+            for (int64_t i = 0; i < segb; ++i) {
+              const uint8_t u = (uint8_t)(xv[i] - bx24[ch]);
+              if (u) {
+                m[i >> 3] |= (uint8_t)(1u << (i & 7));
+                const uint8_t v = (uint8_t)((uint8_t)(u + 8) & 0xF);
+                if (nz4 & 1) out_nib[nz4 >> 1] |= (uint8_t)(v << 4);
+                else out_nib[nz4 >> 1] = v;
+                ++nz4;
+              }
+              ch = ch == 2 ? 0 : ch + 1;
+            }
+            ++k4m;
+          } else if (c9c == best) {
+            out_cls[seg_i] = 9;
+            for (int ch = 0; ch < 3; ++ch)
+              bias[ch] = (uint8_t)((jj[ch] + 64) & 0x7F);
+            uint8_t *m = out_m4 + (size_t)k4m * q1b;
+            for (int32_t b = 0; b < q1b; ++b) m[b] = 0;
+            int ch = 0;
+            for (int64_t i = 0; i < segb; ++i) {
+              const uint8_t e = (uint8_t)(c[i] - lut[ch][p[i]]);
+              if (e) {
+                m[i >> 3] |= (uint8_t)(1u << (i & 7));
+                const uint8_t v = (uint8_t)((uint8_t)(e + 8) & 0xF);
+                if (nz4 & 1) out_nib[nz4 >> 1] |= (uint8_t)(v << 4);
+                else out_nib[nz4 >> 1] = v;
+                ++nz4;
+              }
+              ch = ch == 2 ? 0 : ch + 1;
+            }
+            ++k4m;
+          } else if (c10c == best) {
+            out_cls[seg_i] = 10;
+            for (int ch = 0; ch < 3; ++ch) bias[ch] = (uint8_t)biasc[ch];
+            uint8_t *m = out_m8 + (size_t)k10m * q1b;
+            for (int32_t b = 0; b < q1b; ++b) m[b] = 0;
+            int ch = 0;
+            for (int64_t i = 0; i < segb; ++i) {
+              const uint8_t u = (uint8_t)(xv[i] - bx24[ch]);
+              if (u) {
+                m[i >> 3] |= (uint8_t)(1u << (i & 7));
+                out_byte[nz8++] = u;
+              }
+              ch = ch == 2 ? 0 : ch + 1;
+            }
+            ++k10m;
+          } else {
+            out_cls[seg_i] = 4;
+            bias[0] = bias[1] = bias[2] = 0;
+            std::memcpy(out_raw + (size_t)kr * segb, c, (size_t)segb);
+            ++kr;
+          }
         }
       }
     }
@@ -770,6 +969,10 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
   out_counts[1] = k2;
   out_counts[2] = k3;
   out_counts[3] = kr;
+  out_counts[4] = k4m;
+  out_counts[5] = k10m;
+  out_counts[6] = nz4;
+  out_counts[7] = nz8;
   return 1;
 }
 

@@ -58,7 +58,11 @@ def test_fused_pipeline_golden_snapshot(test2_dets):
     )
     assert [d["class_name"] for d in got] == [g["class_name"] for g in golden]
     for d, g in zip(got, golden):
-        assert np.abs(np.asarray(d["bbox"]) - np.asarray(g["bbox"])).max() <= 3, (
+        # 5 px: the goldens were regenerated with the bf16 epilogue and sit
+        # up to 2 px from the f32 path; the wire formats add <= ~1 px of
+        # fixed-point/f16 rounding — 3 px left only ~1 px of margin across
+        # backends/compiler versions (advisor r4)
+        assert np.abs(np.asarray(d["bbox"]) - np.asarray(g["bbox"])).max() <= 5, (
             d["class_name"], d["bbox"], g["bbox"])
         if g["class_name"].endswith("_rank"):
             assert d["ocr_text"] == g["ocr_text"], g["class_name"]

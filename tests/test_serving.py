@@ -346,6 +346,8 @@ def test_seg_encode_native_matches_numpy():
         bufs = (
             np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q2, np.uint8),
             np.zeros(nseg * q3, np.uint8), np.zeros(nseg * qr, np.uint8),
+            np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q1, np.uint8),
+            np.zeros(nseg * segb, np.uint8), np.zeros(nseg * segb, np.uint8),
             np.zeros(nseg * 3, np.uint8), np.zeros(nseg, np.uint8),
         )
         counts = native_mod.seg_encode(
@@ -356,9 +358,14 @@ def test_seg_encode_native_matches_numpy():
     cn, bn = run(False)
     cp, bp = run(True)
     assert cn == cp and cn is not None
-    k1, k2, k3, kr = cn
-    assert k1 > 0 and k2 > 0 and k3 > 0 and kr > 0  # all payload classes
-    cls_hist = np.bincount(bn[5], minlength=6)
+    k1, k2, k3, kr, k4m, k10m, nz4, nz8 = cn
+    # all dense payload classes + the sparse-byte class (the repaint's
+    # fully-random 8-px segments: nz <= 21 of 24 after the modal bias, so
+    # cost q1+nz ties-or-beats raw's 24 and class 10 wins — raw can never
+    # win at segw=8, which the cost model makes an invariant)
+    assert k1 > 0 and k2 > 0 and k3 > 0 and k10m > 0 and nz8 > 0
+    assert kr == 0
+    cls_hist = np.bincount(bn[9], minlength=6)
     assert cls_hist[0] > 0  # const segments too
     assert cls_hist[5] > 0  # clamp-shift segments (clipped +3 shift)
     for a, b in zip(bn, bp):
@@ -459,7 +466,8 @@ def test_segs_payload_roundtrip_decoder():
     bufs = BatchStream._make_segs_bufs(segw, nseg, raw_act, 1)
     counts = native_mod.seg_encode(
         cur, prev, top, nh, segw, bufs["p1"], bufs["p2"], bufs["p3"],
-        bufs["raw"], bufs["bias"], bufs["cls"],
+        bufs["raw"], bufs["m4"], bufs["m8"], bufs["nib"], bufs["byte"],
+        bufs["bias"], bufs["cls"],
     )
     assert counts is not None
     enc = BatchStream._assemble_segs_payload(
@@ -540,7 +548,13 @@ def test_classify_crop_segs_program_bit_exact():
         p1, np.asarray(s._classify(s.cls_params, jnp.asarray(shifted.reshape(-1))))
     )
     assert np.array_equal(p1, p2)
-    assert not np.array_equal(p0, p1)
+    # non-staleness: the segs step advanced the device-resident reference
+    # to the SHIFTED crops (u8 wire probabilities may quantize equal for a
+    # +2 photometric shift, so compare the classifier INPUT, not outputs)
+    assert np.array_equal(
+        np.asarray(s._dev_prev_crops).reshape(shifted.shape), shifted
+    )
+    assert p0 is not p1
     s.close()
 
 
@@ -686,6 +700,8 @@ def test_seg_encode_whole_slot_clamp_shift_fast_path():
         bufs = (
             np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q2, np.uint8),
             np.zeros(nseg * q3, np.uint8), np.zeros(nseg * qr, np.uint8),
+            np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q1, np.uint8),
+            np.zeros(nseg * segb, np.uint8), np.zeros(nseg * segb, np.uint8),
             np.zeros(nseg * 3, np.uint8), np.zeros(nseg, np.uint8),
         )
         counts = native_mod.seg_encode(
@@ -700,15 +716,15 @@ def test_seg_encode_whole_slot_clamp_shift_fast_path():
         for a, b in zip(bn, bp):
             np.testing.assert_array_equal(a, b)
     sps = nh * (W // segw)
-    assert (bn[5][:sps] == 5).all()  # slot 0: every segment clamp-shift
+    assert (bn[9][:sps] == 5).all()  # slot 0: every segment clamp-shift
     exp = np.array([3, 256 - 5, 2], np.uint8)
     np.testing.assert_array_equal(
-        bn[4][: sps * 3].reshape(-1, 3), np.broadcast_to(exp, (sps, 3))
+        bn[8][: sps * 3].reshape(-1, 3), np.broadcast_to(exp, (sps, 3))
     )
-    assert (bn[5][sps : 2 * sps] != 5).any()  # slot 1 repainted -> mixed
+    assert (bn[9][sps : 2 * sps] != 5).any()  # slot 1 repainted -> mixed
 
 
-def _tiny_stream(batch=2, delta=True):
+def _tiny_stream(batch=2, delta=True, **kw):
     from manual_yolo_tpu.runtime.serving import BatchStream
 
     det_spec = yolov8.build_spec("detect", "n", nc=64)
@@ -724,8 +740,44 @@ def _tiny_stream(batch=2, delta=True):
         cls_params=cls_params, cls_spec=cls_spec,
         names=taxonomy.CLASSES, rank_names={i: str(i) for i in range(13)},
         batch=batch, imgsz=192, conf=1e-6, compute_dtype=jnp.float32,
-        use_pallas_nms=False, delta=delta,
+        use_pallas_nms=False, delta=delta, **kw,
     )
+
+
+def test_readback_bound_overflow_matches_packed():
+    """The count-bounded u8 readback and the full-plane overflow fallback
+    must yield the same detections: stream A's bound is below the actual
+    count (every batch falls back to the resident f16 plane), stream B's
+    bound covers it (pure packed u16/u8 path). Classes, counts and rank
+    texts match exactly; boxes within the 1/16-px fixed-point vs f16
+    rounding; confidences within the u16 quantization step."""
+    s_lo = _tiny_stream(max_det=8, readback_det=4)
+    s_hi = _tiny_stream(max_det=8, readback_det=8)
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 255, (240, 400, 3), np.uint8) for _ in range(2)]
+    try:
+        for s in (s_lo, s_hi):
+            s.submit_batch(frames)
+        out_lo = s_lo.collect_batch()
+        out_hi = s_hi.collect_batch()
+        assert s_lo.readback_overflows >= 1
+        assert s_hi.readback_overflows == 0
+        assert len(out_lo) == len(out_hi)
+        n_dets = 0
+        for dl, dh in zip(out_lo, out_hi):
+            assert len(dl) == len(dh)
+            n_dets += len(dl)
+            for a, b in zip(dl, dh):
+                assert a["class_id"] == b["class_id"]
+                assert a["ocr_text"] == b["ocr_text"]
+                assert abs(a["conf"] - b["conf"]) <= 0.002
+                assert all(
+                    abs(x - y) <= 1 for x, y in zip(a["bbox"], b["bbox"])
+                )
+        assert n_dets > 0  # conf=1e-6 random weights always detect
+    finally:
+        s_lo.close()
+        s_hi.close()
 
 
 def test_batch_stream_recovers_after_dispatch_failure():
@@ -794,6 +846,102 @@ def test_batch_stream_close_with_inflight_batch_does_not_hang():
     assert not s._applier_thread.is_alive()
 
 
+def test_seg_encode_sparse_exception_classes_roundtrip():
+    """Round-5 sparse classes 8/9/10 (deviation mask + nibble/byte
+    exception streams): native == numpy byte-for-byte, the classes engage
+    on sparse-residual segments where they are byte-cheapest, raw still
+    wins on dense repaints at wide segments, and the device decode is
+    bit-exact through the full assemble path."""
+    from manual_yolo_tpu.runtime import native as native_mod
+    from manual_yolo_tpu.runtime.serving import BatchStream, _segs_decoder
+
+    rng = np.random.default_rng(13)
+    nslots, H, W, segw = 2, 48, 80, 40  # 40-px segments like the canvas
+    top, nh = 4, 40
+    segb = segw * 3
+    prev = rng.integers(30, 220, (nslots, H, W, 3), np.uint8)
+    cur = prev.copy()
+    act = slice(top, top + nh)
+    # slot 0 rows 0..15: constant content with FEW scattered small
+    # deviations -> sparse nibble over const base (class 8: mask 15 B +
+    # nibbles beats dense 2/3-bit 30/45 B)
+    for r in range(16):
+        row = top + r
+        idx = rng.choice(W * 3, size=10, replace=False)
+        flat = cur[0, row].reshape(-1)
+        flat[idx] = (flat[idx].astype(np.int16) + int(rng.integers(2, 8))).clip(0, 255).astype(np.uint8)
+    # slot 1: global +9 shift with a saturated stripe -> clamp-shift holds
+    # except near the stripe where prev was clipped: sparse nibble over
+    # the SHIFT base (class 9) or one-sided 6/7, whichever is cheaper
+    prev[1, act] = np.clip(prev[1, act].astype(np.int16), 30, 220).astype(np.uint8)
+    prev[1, top + 20 : top + 24] = 252  # clipped under the shift
+    content = prev[1].astype(np.int16).copy()
+    content[top + 20 : top + 24] = 255 - rng.integers(0, 6, (4, W, 3))
+    cur[1] = np.clip(content + 9, 0, 255).astype(np.uint8)
+    # slot 0 rows 24..31: dense random repaint -> raw must still win at
+    # 40-px segments (nz > segb - q1)
+    cur[0, top + 24 : top + 32] = rng.integers(0, 256, (8, W, 3), np.uint8)
+    # slot 0 rows 32..: one big sparse byte-exception region: mostly
+    # unchanged segment with ~30 arbitrary-value bytes (class 10: 15 + 30
+    # beats raw's 120 and nothing denser fits)
+    for r in range(32, 38):
+        row = top + r
+        idx = rng.choice(W * 3, size=30, replace=False)
+        flat = cur[0, row].reshape(-1)
+        flat[idx] = rng.integers(0, 256, 30).astype(np.uint8)
+
+    nseg = nslots * nh * (W // segw)
+    q1, q2, q3, qr = segb // 8, segb // 4, segb * 3 // 8, segb
+
+    def run(force_numpy):
+        bufs = (
+            np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q2, np.uint8),
+            np.zeros(nseg * q3, np.uint8), np.zeros(nseg * qr, np.uint8),
+            np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q1, np.uint8),
+            np.zeros(nseg * segb, np.uint8), np.zeros(nseg * segb, np.uint8),
+            np.zeros(nseg * 3, np.uint8), np.zeros(nseg, np.uint8),
+        )
+        counts = native_mod.seg_encode(
+            cur, prev, top, nh, segw, *bufs, force_numpy=force_numpy
+        )
+        return counts, bufs
+
+    cn, bn = run(False)
+    cp, bp = run(True)
+    if native_mod.get_lib() is not None:
+        assert cn == cp
+        for a, b in zip(bn, bp):
+            np.testing.assert_array_equal(a, b)
+    k1, k2, k3, kr, k4m, k10m, nz4, nz8 = cp
+    hist = np.bincount(bp[9], minlength=11)
+    assert hist[8] > 0, f"sparse-nibble const class never engaged: {hist}"
+    assert hist[10] > 0 and nz8 > 0, f"sparse-byte class never engaged: {hist}"
+    assert kr > 0, f"dense repaint must stay raw at 40px segments: {hist}"
+    assert k4m == hist[8] + hist[9] and k10m == hist[10]
+
+    # device decode bit-exactness through the full assemble path
+    sbufs = BatchStream._make_segs_bufs(segw, nseg, nslots * nh * W * 3, 1)
+    counts = native_mod.seg_encode(
+        cur, prev, top, nh, segw, sbufs["p1"], sbufs["p2"], sbufs["p3"],
+        sbufs["raw"], sbufs["m4"], sbufs["m8"], sbufs["nib"],
+        sbufs["byte"], sbufs["bias"], sbufs["cls"],
+    )
+    enc = BatchStream._assemble_segs_payload(
+        sbufs, 0, counts, (q1, q2, q3, qr), nseg, nslots,
+        nslots * nh * W * 3,
+    )
+    assert enc is not None
+    payload, npb = enc
+    decode = _segs_decoder(nslots, H, W, top, nh, segw, npb)
+    out = np.asarray(
+        jax.jit(decode)(jnp.asarray(payload), jnp.asarray(prev.reshape(-1)))
+    ).reshape(nslots, H, W, 3)
+    expect = cur.copy()
+    expect[:, :top] = 114
+    expect[:, top + nh :] = 114
+    assert np.array_equal(out, expect)
+
+
 def test_seg_encode_shift_residual_classes_clip_boundary():
     """Classes 6/7 (clamp-shift + one-sided residual): brightening jitter
     over content with antialiased saturating highlights. Unclipped pixels
@@ -842,6 +990,8 @@ def test_seg_encode_shift_residual_classes_clip_boundary():
         bufs = (
             np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q2, np.uint8),
             np.zeros(nseg * q3, np.uint8), np.zeros(nseg * qr, np.uint8),
+            np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q1, np.uint8),
+            np.zeros(nseg * segb, np.uint8), np.zeros(nseg * segb, np.uint8),
             np.zeros(nseg * 3, np.uint8), np.zeros(nseg, np.uint8),
         )
         counts = native_mod.seg_encode(
@@ -856,16 +1006,19 @@ def test_seg_encode_shift_residual_classes_clip_boundary():
         for a, b in zip(bn, bp):
             assert np.array_equal(a, b)
     counts, bufs_t = cp, bp
-    hist = np.bincount(bufs_t[5], minlength=8)
+    hist = np.bincount(bufs_t[9], minlength=11)
     assert hist[6] > 0 and hist[7] > 0, f"shift-residual never engaged: {hist}"
-    # raw is confined to the repaint region (4 rows x 3 segments)
+    # the repaint's fully-random segments land in raw or sparse-byte
+    # (whichever is byte-cheaper) — never in the highlight rows' classes
+    assert hist[4] + hist[10] > 0, f"repaint class missing: {hist}"
     assert hist[4] <= 12, f"highlight segments leaked to raw: {hist}"
 
     # device decode bit-exactness through the full assemble path
     sbufs = BatchStream._make_segs_bufs(segw, nseg, nslots * nh * W * 3, 1)
     counts = native_mod.seg_encode(
         cur, prev, top, nh, segw, sbufs["p1"], sbufs["p2"], sbufs["p3"],
-        sbufs["raw"], sbufs["bias"], sbufs["cls"],
+        sbufs["raw"], sbufs["m4"], sbufs["m8"], sbufs["nib"],
+        sbufs["byte"], sbufs["bias"], sbufs["cls"],
     )
     enc = BatchStream._assemble_segs_payload(
         sbufs, 0, counts, (q1, q2, q3, qr), nseg, nslots,

@@ -47,8 +47,6 @@ def main():
          (stream.det_params, stream._dev_prev)),
         ("classify", stream._classify,
          (stream.cls_params, stream._dev_pred_crops)),
-        ("probs_tail", stream._probs_tail,
-         (stream._dev_prev[: stream._nd_flat + 13],)),
     ]
 
     outs = []

@@ -55,12 +55,22 @@ def main():
     if segc:
         tot = [sum(c[i] for c in segc) for i in range(len(segc[0]))]
         nseg = tot[0]
-        seg_split = {
-            "segments": nseg // len(segc),
-            "k2bit": round(tot[1] / nseg, 4), "k3bit": round(tot[2] / nseg, 4),
-            "kraw": round(tot[3] / nseg, 4),
-            "const_or_shift": round(1 - (tot[1] + tot[2] + tot[3]) / nseg, 4),
-        } if len(tot) >= 4 else {"raw_counts": tot}
+        if len(tot) >= 9:  # nseg, k1, k2, k3, kraw, km4, km8, nz4, nz8
+            payload_segs = sum(tot[1:7])
+            seg_split = {
+                "segments": nseg // len(segc),
+                "k1bit": round(tot[1] / nseg, 4),
+                "k2bit": round(tot[2] / nseg, 4),
+                "k3bit": round(tot[3] / nseg, 4),
+                "kraw": round(tot[4] / nseg, 4),
+                "ksparse_nib": round(tot[5] / nseg, 4),
+                "ksparse_byte": round(tot[6] / nseg, 4),
+                "nz_nib_per_batch": tot[7] // len(segc),
+                "nz_byte_per_batch": tot[8] // len(segc),
+                "const_or_shift": round(1 - payload_segs / nseg, 4),
+            }
+        else:
+            seg_split = {"raw_counts": tot}
     print(json.dumps({
         "fps": round(done / wall, 1),
         "batch_period_ms": round(1e3 * wall / n, 1),
