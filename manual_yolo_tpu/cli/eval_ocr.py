@@ -55,7 +55,7 @@ def load_real_crops(labels_path: str, dataset_root: str = DATASET_ROOT,
                 ("train_fit" in splits or "train_holdout" in splits)
             ):
                 continue
-            stem = it["src"].split("/", 1)[1]
+            stem = it["src"].split("/", 1)[-1]  # tolerate slashless src
             want = "train_holdout" if _train_holdout(stem) else "train_fit"
             if want not in splits:
                 continue
@@ -106,17 +106,18 @@ def evaluate_real(engine, labels_path: str, min_confidence: float = 0.0,
     items = list(load_real_crops(labels_path, splits=splits))
     crops = [c for c, _, _ in items]
     names = [n for _, n, _ in items]
-    preds = engine.read_fields(crops, names, min_confidence=min_confidence)
+    pairs = engine.read_fields_conf(crops, names, min_confidence=min_confidence)
 
     per_kind = defaultdict(lambda: [0, 0])
     rows = []
-    for (crop, cname, truth), pred in zip(items, preds):
+    for (crop, cname, truth), (pred, conf) in zip(items, pairs):
         kind = field_kind(cname)
         truth_norm = OCREngine._validate(kind, cname.lower(), truth)
         ok = (pred or "") == (truth_norm or "")
         per_kind[kind][0] += int(ok)
         per_kind[kind][1] += 1
-        rows.append({"class": cname, "truth": truth_norm, "pred": pred, "ok": ok})
+        rows.append({"class": cname, "truth": truth_norm, "pred": pred,
+                     "ok": ok, "conf": round(float(conf), 4)})
     total_ok = sum(v[0] for v in per_kind.values())
     total_n = sum(v[1] for v in per_kind.values())
     # LLM-tier escalation rate under the reference's gating
@@ -146,6 +147,50 @@ def evaluate_real(engine, labels_path: str, min_confidence: float = 0.0,
     }
 
 
+def gate_sweep(rows, gates=(0.0, 0.3, 0.5, 0.7, 0.9, 0.95, 0.96, 0.97,
+                            0.98, 0.99)):
+    """Failure-gate calibration table (VERDICT r4 item 3): reinterpret the
+    per-row winning confidence as a vision-LLM escalation gate. For each
+    gate value: fraction of IMPORTANT fields that would escalate (unread
+    OR below-gate), and the residual errors the gate FAILS to catch
+    (wrong reads at or above the gate — the catastrophic-misread surface).
+    The sweep is offline over one min_confidence=<runtime> read, so it
+    costs one eval pass."""
+    from manual_yolo_tpu.runtime.llm_fallback import IMPORTANT_KEYS
+    from manual_yolo_tpu.runtime.ocr import field_kind
+
+    imp = set(IMPORTANT_KEYS)
+    out = []
+    for g in gates:
+        esc = wrong_kept = wrong_caught = 0
+        esc_by_kind = defaultdict(int)
+        n_by_kind = defaultdict(int)
+        imp_rows = [r for r in rows if r["class"] in imp]
+        for r in imp_rows:
+            kind = field_kind(r["class"])
+            n_by_kind[kind] += 1
+            escalates = (not r["pred"]) or r["conf"] < g
+            if escalates:
+                esc += 1
+                esc_by_kind[kind] += 1
+                if not r["ok"]:
+                    wrong_caught += 1
+            elif not r["ok"]:
+                wrong_kept += 1
+        out.append({
+            "gate": g,
+            "important_n": len(imp_rows),
+            "escalation_rate": round(esc / max(len(imp_rows), 1), 4),
+            "errors_caught": wrong_caught,
+            "errors_kept": wrong_kept,
+            "escalation_by_kind": {
+                k: round(esc_by_kind[k] / n_by_kind[k], 4)
+                for k in sorted(n_by_kind)
+            },
+        })
+    return out
+
+
 def main(argv=None) -> int:
     from manual_yolo_tpu.runtime.ocr import DEFAULT_RECOGNIZER_WEIGHTS
     ap = argparse.ArgumentParser(description="Evaluate OCR on real UI crops")
@@ -160,6 +205,10 @@ def main(argv=None) -> int:
                          "train, train_fit, train_holdout)")
     ap.add_argument("--dump-errors", default=None,
                     help="write mismatching rows to this JSON file")
+    ap.add_argument("--sweep-gates", action="store_true",
+                    help="print the vision-LLM failure-gate calibration "
+                         "table (escalation rate vs residual errors per "
+                         "gate; VERDICT r4 item 3)")
     ap.add_argument("--no-beam", action="store_true",
                     help="disable the prefix-beam candidate refinement "
                          "(greedy-only decode, for A/B comparison)")
@@ -184,7 +233,10 @@ def main(argv=None) -> int:
         engine, args.labels, args.min_confidence,
         splits=tuple(args.splits.split(",")),
     )
-    errs = [r for r in res.pop("rows") if not r["ok"]]
+    rows = res.pop("rows")
+    if args.sweep_gates:
+        res["gate_sweep"] = gate_sweep(rows)
+    errs = [r for r in rows if not r["ok"]]
     print(json.dumps(res, indent=2))
     if args.dump_errors:
         json.dump(errs, open(args.dump_errors, "w"), indent=1)

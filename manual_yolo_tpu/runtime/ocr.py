@@ -77,6 +77,27 @@ class OCREngine:
     # pipe.py:249-261 deskew chain, all batched into one recognizer call
     N_VARIANTS = 4
 
+    # default vision-LLM failure gates per kind (see ``self.llm_gate``):
+    # calibrated by the round-5 threshold sweep on the data/ocr_real
+    # holdout (cli/eval_ocr.py --sweep-gates; table + rationale in
+    # docs/PARITY.md). game_id: the holdout's one wrong id read at 0.9675
+    # while every correct one read >= 0.9731 — 0.97 catches it at zero
+    # correct-read cost. The catastrophic length-collapse failure class
+    # reads at HIGH confidence and is caught by the collapse detector
+    # below, not the gate.
+    LLM_GATE = {"name": 0.97, "game_id": 0.97, "numeric": 0.97,
+                "card": 0.0, "generic": 0.0}
+    # collapse detector (name/game_id): a validated read dramatically
+    # shorter than the crop width supports (expected glyphs ~ (w/h)/0.55)
+    # is the catastrophic-misread signature — the holdout's
+    # SolemnInflux->"ru" collapse WON at confidence 0.989 (raw confidence
+    # is uncalibrated for this failure class; measured, docs/PARITY.md),
+    # but its length ratio 0.24 sits far below correct reads' p5 of 0.36.
+    # Reads under the floor get their confidence demoted below every gate
+    # so the LLM tier always sees them.
+    COLLAPSE_FLOOR = 0.30
+    COLLAPSE_KINDS = ("name", "game_id")
+
     def __init__(self, params, width: int = 256, compute_dtype=jnp.float32,
                  text_detector_params=None, img_h: int = 32):
         # a list/tuple of param trees = seed ENSEMBLE: every model's logits
@@ -154,6 +175,16 @@ class OCREngine:
         # rare kinds always beam (>= 1.01 threshold) and only the hot
         # numeric kind gates.
         self.beam_escalate_conf = {"numeric": 0.90}
+        # vision-LLM failure gate, PER KIND: an important field whose local
+        # read wins with confidence BELOW the kind's gate is flagged for
+        # the LLM tier even though a validated text exists — the cascade's
+        # safety property (reference detect.py:186-189,226 escalates on
+        # confidence at every tier; yolo.py:629-747 LLM tier). Values from
+        # the round-5 calibration sweep on the data/ocr_real holdout
+        # (cli/eval_ocr.py --sweep-gates; table in docs/PARITY.md): the
+        # known catastrophic name misread reads at low confidence while
+        # nearly all correct reads sit far above these gates.
+        self.llm_gate = dict(self.LLM_GATE)
         # optional CRAFT text detector (the EasyOCR detection stage): enables
         # read_region() on multi-line / loose crops
         self._craft_params = text_detector_params
@@ -677,14 +708,35 @@ class OCREngine:
         Per-group failures degrade that group to unread (None) without
         killing the rest of the frame.
         """
+        return [t for t, _ in self.read_fields_conf(
+            crops_bgr, class_names, min_confidence
+        )]
+
+    def read_fields_conf(
+        self,
+        crops_bgr: List[Optional[np.ndarray]],
+        class_names: List[str],
+        min_confidence: float = 0.35,
+    ) -> List[Tuple[Optional[str], float]]:
+        """:meth:`read_fields` plus each field's winning-candidate
+        confidence (-1.0 when unread). The confidence is the cascade's
+        FAILURE-GATE signal: the reference escalates low-confidence reads
+        at every tier (detect.py:186-189,205-226; yolo.py:629-747), and
+        the vision-LLM tier here gates on it via :attr:`LLM_GATE`
+        (calibrated on data/ocr_real — docs/PARITY.md failure-gate
+        table)."""
         out: List[Optional[str]] = [None] * len(class_names)
+        confs: List[float] = [-1.0] * len(class_names)
         groups: Dict[str, List[int]] = {}
         grays: List[Optional[np.ndarray]] = []
+        shapes: List[Optional[Tuple[int, int]]] = []
         for i, (crop, name) in enumerate(zip(crops_bgr, class_names)):
             if crop is None or crop.size == 0:
                 grays.append(None)
+                shapes.append(None)
                 continue
             grays.append(self._to_gray(crop))
+            shapes.append(crop.shape[:2])
             groups.setdefault(field_kind(name), []).append(i)
         for kind, idxs in groups.items():
             try:
@@ -698,11 +750,11 @@ class OCREngine:
                 escalate: List[int] = []
                 for i, cands in zip(idxs, results):
                     low = class_names[i].lower()
-                    out[i], conf = self._pick_validated_conf(
+                    out[i], confs[i] = self._pick_validated_conf(
                         kind, low, cands,
                         self._field_threshold(low, min_confidence),
                     )
-                    if self.beam and (out[i] is None or conf < esc_thr):
+                    if self.beam and (out[i] is None or confs[i] < esc_thr):
                         escalate.append(i)
                 if escalate:
                     results = self.read_batch_candidates(
@@ -710,12 +762,13 @@ class OCREngine:
                     )
                     for i, cands in zip(escalate, results):
                         low = class_names[i].lower()
-                        v = self._pick_validated(
+                        v, vc = self._pick_validated_conf(
                             kind, low, cands,
                             self._field_threshold(low, min_confidence),
                         )
                         if v is not None:
                             out[i] = v
+                            confs[i] = max(confs[i], vc)
             except Exception as e:  # degrade the group, keep the frame alive
                 print(f"OCR batch error for kind={kind}: {e}")
                 continue
@@ -729,24 +782,38 @@ class OCREngine:
                 if crop.shape[0] < 45:  # single UI lines are ~20-35 px
                     continue
                 try:
-                    out[i] = self._region_field(crop, name, min_confidence)
+                    out[i], rc = self._region_field(
+                        crop, name, min_confidence
+                    )
+                    if out[i] is not None:
+                        confs[i] = rc
                 except Exception as e:
                     print(f"OCR region fallback error for {name}: {e}")
-        return out
+        # catastrophic-collapse demotion (see COLLAPSE_FLOOR)
+        for i, name in enumerate(class_names):
+            if out[i] is None or shapes[i] is None:
+                continue
+            if field_kind(name) not in self.COLLAPSE_KINDS:
+                continue
+            h, w = shapes[i]
+            exp_chars = max(1.0, (w / max(h, 1)) / 0.55)
+            if len(out[i]) / exp_chars < self.COLLAPSE_FLOOR:
+                confs[i] = min(confs[i], 0.20)
+        return list(zip(out, confs))
 
     def _region_field(
         self, crop_bgr: np.ndarray, class_name: str, min_confidence: float
-    ) -> Optional[str]:
+    ) -> Tuple[Optional[str], float]:
         """read_region over a loose/multi-line crop, returning the first
-        line whose text validates for the field."""
+        line whose text validates for the field (plus its confidence)."""
         kind = field_kind(class_name)
         low = class_name.lower()
         thr = self._field_threshold(low, min_confidence)
         for _box, text, conf in self.read_region(crop_bgr, kind, thr):
             v = self._validate(kind, low, text)
             if v:
-                return v
-        return None
+                return v, float(conf)
+        return None, -1.0
 
 
 #: Default recognizer ensemble: two 32-px seeds fine-tuned on the real-crop

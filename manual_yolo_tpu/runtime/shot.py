@@ -29,9 +29,30 @@ def _safe_crop(frame: np.ndarray, bbox: List[int]) -> np.ndarray:
     return frame[max(0, y1) : max(y1 + 1, y2), max(0, x1) : max(x1 + 1, x2)]
 
 
+def llm_should_escalate(d: Dict) -> bool:
+    """The cascade's per-field failure gate: escalate when the local read
+    is empty, OR when its confidence (as recorded by
+    ``OCREngine.read_fields_conf`` — collapse-demoted for catastrophic
+    length-collapse reads) falls below the kind's calibrated
+    ``OCREngine.LLM_GATE`` (docs/PARITY.md failure-gate table)."""
+    from manual_yolo_tpu.runtime.ocr import OCREngine, field_kind
+
+    if not d.get("ocr_text"):
+        return True
+    conf = d.get("ocr_conf")
+    if conf is None or conf < 0:
+        return False  # no confidence signal (e.g. classifier rank path)
+    gate = OCREngine.LLM_GATE.get(field_kind(d["class_name"]), 0.0)
+    return conf < gate
+
+
 def _llm_escalate(frame: np.ndarray, dets: List[Dict]) -> int:
-    """Vision-LLM fallback for important fields local reads left empty
-    (reference ``yolo.py:629-747``, gated on the API key like ``yolo.py:47``).
+    """Vision-LLM fallback for important fields local reads left empty OR
+    read below the calibrated per-kind confidence gate (reference
+    ``yolo.py:629-747``, gated on the API key like ``yolo.py:47``; the
+    confidence gate mirrors the reference's escalate-on-low-confidence at
+    every tier, ``detect.py:186-189,226`` — calibration table in
+    docs/PARITY.md).
 
     Builds a labelled collage of the failing crops, queries the LLM once,
     validates each returned value with the same per-kind rules as OCR, and
@@ -43,9 +64,9 @@ def _llm_escalate(frame: np.ndarray, dets: List[Dict]) -> int:
     important = set(llm_fallback.IMPORTANT_KEYS)
     missing = [
         d for d in dets
-        if not d.get("ocr_text")
-        and d["class_name"] in taxonomy.OCR_CLASSES
+        if d["class_name"] in taxonomy.OCR_CLASSES
         and d["class_name"] in important
+        and llm_should_escalate(d)
     ]
     if not missing:
         return 0
@@ -101,8 +122,17 @@ def process_screenshot(
             d for d in dets
             if not d.get("ocr_text") and d["class_name"] in taxonomy.OCR_CLASSES
         ]
+        read_fields_conf = getattr(ocr, "read_fields_conf", None)
         read_fields = getattr(ocr, "read_fields", None)
-        if todo and read_fields is not None:
+        if todo and read_fields_conf is not None:
+            pairs = read_fields_conf(
+                [_safe_crop(frame, d["bbox"]) for d in todo],
+                [d["class_name"] for d in todo],
+            )
+            for d, (t, c) in zip(todo, pairs):
+                d["ocr_text"] = t or ""
+                d["ocr_conf"] = round(float(c), 3)
+        elif todo and read_fields is not None:
             texts = read_fields(
                 [_safe_crop(frame, d["bbox"]) for d in todo],
                 [d["class_name"] for d in todo],
