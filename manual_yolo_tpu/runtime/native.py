@@ -102,7 +102,7 @@ def get_lib():
             ctypes.c_int32, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.ctc_score.restype = ctypes.c_float
         lib.ctc_score.argtypes = [
@@ -293,8 +293,8 @@ def tribit_encode(
 
 
 def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
-                      out_raw, out_m4, out_m8, out_nib, out_byte,
-                      out_bias, out_cls):
+                      out_raw, out_m4, out_m8, out_s4, out_s8, out_nib,
+                      out_byte, out_bias, out_cls):
     """Vectorized numpy mirror of the native seg_encode (same byte layout,
     same cost-based class selection and tie-breaks); the test oracle and
     the no-toolchain fallback."""
@@ -365,10 +365,12 @@ def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
     )
     # const-modal bias (classes 8/10): per-channel MODE of the delta,
     # ties -> smallest value (bincount argmax; matches the native scan)
+    nsb = segb // 24  # 24-byte sub-blocks per segment (two-level masks)
     biasc = np.zeros((nseg_tot, 3), np.int16)
     nz_c = np.zeros(nseg_tot, np.int64)
+    db_c = np.zeros(nseg_tot, np.int64)
     fit8 = np.zeros(nseg_tot, bool)
-    cand = np.where(span > 1)[0]
+    cand = np.where(span > 0)[0]
     if cand.size:
         sub = ds[cand]  # (k, segw, 3)
         off = (sub - dmn[cand][:, None, :]).astype(np.int64)  # [0, 255]
@@ -382,25 +384,37 @@ def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
         biasc[cand] = bc
         u8r = (sub - bc[:, None, :]).astype(np.uint8)  # mod-256 residual
         nz_c[cand] = (u8r != 0).sum(axis=(1, 2))
+        db_c[cand] = (
+            (u8r != 0).reshape(k, segw * 3).reshape(k, nsb, 24).any(axis=2)
+        ).sum(axis=1)
         fit8[cand] = ((u8r + np.uint8(8)) <= 15).all(axis=(1, 2))
-    # exact byte-cost selection (preference on ties: 2,6,3,7,8,9,10,raw —
-    # argmin returns the first min, so the stack order IS the tie-break)
+    if e is not None:
+        db_s = (
+            (eu != 0).reshape(nseg_tot, segb).reshape(nseg_tot, nsb, 24)
+            .any(axis=2)
+        ).sum(axis=1)
+    else:
+        db_s = np.zeros(nseg_tot, np.int64)
+    # exact byte-cost selection (preference on ties: 1,2,6,3,7,8,9,10,raw
+    # — argmin returns the first min, so the stack order IS the
+    # tie-break). Sparse cost = 1 L byte + 3 per dirty sub-block + values.
     INF = 1 << 30
     q2b, q3b = segb // 4, segb * 3 // 8
     costs = np.stack([
+        np.where(span <= 1, q1, INF),
         np.where(span <= 3, q2b, INF),
         np.where(fit6, q2b, INF),
         np.where(span <= 7, q3b, INF),
         np.where(fit7, q3b, INF),
-        np.where(fit8, q1 + (nz_c + 1) // 2, INF),
-        np.where(fit9, q1 + (nz_s + 1) // 2, INF),
-        q1 + nz_c,
+        np.where(fit8, 1 + 3 * db_c + (nz_c + 1) // 2, INF),
+        np.where(fit9, 1 + 3 * db_s + (nz_s + 1) // 2, INF),
+        1 + 3 * db_c + nz_c,
         np.full(nseg_tot, segb, np.int64),
     ])
-    classmap = np.array([2, 6, 3, 7, 8, 9, 10, 4], np.int64)
+    classmap = np.array([1, 2, 6, 3, 7, 8, 9, 10, 4], np.int64)
     cls = np.select(
-        [slot_ok, span == 0, sok, span <= 1],
-        [5, 0, 5, 1], classmap[costs.argmin(axis=0)],
+        [slot_ok, span == 0, sok],
+        [5, 0, 5], classmap[costs.argmin(axis=0)],
     )
     out_cls[: cls.size] = cls.astype(np.uint8)
     # biases: const/sparse-const -> modal or exact delta; clamp-shift -> j;
@@ -426,22 +440,34 @@ def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
     m1 = cls == 1
     m2blk, m3blk, m4 = (cls == 2) | (cls == 6), (cls == 3) | (cls == 7), cls == 4
     k1, k2, k3, kr = (int(m.sum()) for m in (m1, m2blk, m3blk, m4))
-    # sparse classes: deviation masks (one bit per byte, little-endian —
-    # the decoder reads them through the same unpack as the 1-bit rows)
-    # + nibble/byte exception streams packed contiguously ACROSS segments
+    # sparse classes: two-level deviation masks (an L byte whose bits
+    # flag dirty 24-byte sub-blocks + a 3-byte little-endian bitmask per
+    # dirty sub-block) + nibble/byte exception streams packed
+    # contiguously ACROSS segments
+
+    def _two_level(dev, out_l, out_s, kk):
+        sb = dev.reshape(kk, nsb, 24)
+        dirty = sb.any(axis=2)  # (kk, nsb)
+        lpack = np.packbits(dirty, axis=1, bitorder="little")
+        out_l[:kk] = lpack[:, 0]
+        rows = np.packbits(
+            sb.reshape(-1, 24)[dirty.reshape(-1)], axis=1, bitorder="little"
+        )  # (d, 3)
+        d = rows.shape[0]
+        out_s[: 3 * d] = rows.reshape(-1)
+        return d
+
     mm4 = (cls == 8) | (cls == 9)
     mm8 = cls == 10
     k4m, k10m = int(mm4.sum()), int(mm8.sum())
-    nz4 = nz8 = 0
+    nz4 = nz8 = d4 = d8 = 0
     if k4m:
         rse = ds - biasc[:, None, :]
         if e is not None:
             rse = np.where((cls == 9)[:, None, None], e, rse)
         rse = rse[mm4].reshape(k4m, segb)
         dev = rse != 0
-        out_m4[: k4m * q1] = np.packbits(
-            dev, axis=1, bitorder="little"
-        ).reshape(-1)
+        d4 = _two_level(dev, out_m4, out_s4, k4m)
         vals = ((rse[dev] + 8) & 0xF).astype(np.uint8)
         nz4 = int(vals.size)
         if nz4 % 2:
@@ -450,9 +476,7 @@ def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
     if k10m:
         r10 = (ds - biasc[:, None, :])[mm8].reshape(k10m, segb)
         dev = r10 != 0
-        out_m8[: k10m * q1] = np.packbits(
-            dev, axis=1, bitorder="little"
-        ).reshape(-1)
+        d8 = _two_level(dev, out_m8, out_s8, k10m)
         nz8 = int(dev.sum())
         out_byte[:nz8] = (r10[dev] % 256).astype(np.uint8)
     if k1:
@@ -489,7 +513,7 @@ def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
         out_raw[: kr * segb] = (
             cur_act.reshape(B * nh * seg, segb)[m4].reshape(-1)
         )
-    return k1, k2, k3, kr, k4m, k10m, nz4, nz8
+    return k1, k2, k3, kr, k4m, k10m, nz4, nz8, d4, d8
 
 
 def seg_encode(
@@ -504,6 +528,8 @@ def seg_encode(
     out_raw: np.ndarray,
     out_m4: np.ndarray,
     out_m8: np.ndarray,
+    out_s4: np.ndarray,
+    out_s8: np.ndarray,
     out_nib: np.ndarray,
     out_byte: np.ndarray,
     out_bias: np.ndarray,
@@ -514,33 +540,35 @@ def seg_encode(
     (B, H, W, 3) uint8 canvases: each segw-pixel segment takes the
     byte-cheapest of const / 1-bit / 2-bit / 3-bit / clamp-shift /
     shift-residual / sparse-exception / raw and its payload appends
-    densely per class in scan order (sparse deviation masks + shared
-    nibble/byte exception streams included). Returns (n_1bit, n_2bit,
-    n_3bit, n_raw, n_mask4, n_mask8, nz_nibbles, nz_bytes), or None when
-    segw is unusable (not a multiple of 8 / not a divisor of W)."""
+    densely per class in scan order (two-level sparse deviation masks +
+    shared nibble/byte exception streams included). Returns (n_1bit,
+    n_2bit, n_3bit, n_raw, n_mask4, n_mask8, nz_nibbles, nz_bytes,
+    n_dirty4, n_dirty8), or None when segw is unusable (not a multiple
+    of 8 / not a divisor of W / wider than 64 px)."""
     B, H, W, _ = cur.shape
-    if segw % 8 != 0 or W % segw != 0:
+    if segw % 8 != 0 or W % segw != 0 or segw > 64:
         return None
     assert cur.flags.c_contiguous and prev.flags.c_contiguous
     lib = None if force_numpy else get_lib()
     if lib is None:
         return _seg_encode_numpy(
             cur[:, top : top + nh], prev[:, top : top + nh], segw,
-            out_p1, out_p2, out_p3, out_raw, out_m4, out_m8, out_nib,
-            out_byte, out_bias, out_cls,
+            out_p1, out_p2, out_p3, out_raw, out_m4, out_m8, out_s4,
+            out_s8, out_nib, out_byte, out_bias, out_cls,
         )
     off = top * W * 3
-    counts = (ctypes.c_int64 * 8)()
+    counts = (ctypes.c_int64 * 10)()
     ok = lib.seg_encode(
         cur.ctypes.data + off, prev.ctypes.data + off, B, nh, W,
         H * W * 3, segw, out_p1.ctypes.data, out_p2.ctypes.data,
         out_p3.ctypes.data, out_raw.ctypes.data, out_m4.ctypes.data,
-        out_m8.ctypes.data, out_nib.ctypes.data, out_byte.ctypes.data,
+        out_m8.ctypes.data, out_s4.ctypes.data, out_s8.ctypes.data,
+        out_nib.ctypes.data, out_byte.ctypes.data,
         out_bias.ctypes.data, out_cls.ctypes.data, ctypes.addressof(counts),
     )
     if not ok:
         return None
-    return tuple(int(counts[i]) for i in range(8))
+    return tuple(int(counts[i]) for i in range(10))
 
 
 def decimate_u8_into(frame: np.ndarray, dst: np.ndarray, s: int) -> bool:

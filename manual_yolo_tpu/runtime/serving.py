@@ -270,10 +270,11 @@ def _segs_decoder(nslots, H, W, top, nh, segw, Np, pad_value=114):
 
     def decode(payload_u8, prev_flat_u8):
         # payload layout: [1-bit block | pad %q2 | 2-bit block | pad %q3 |
-        # 3-bit block | pad %qr | raw block | sparse masks (classes 8/9,
-        # q1 rows) | sparse masks (class 10, q1 rows) | nibble exceptions
-        # | byte exceptions | bias exceptions (3/seg) |
-        # zero pad to Np | slot bias defaults (nslots*3) |
+        # 3-bit block | pad %qr | raw block | L bytes (classes 8/9) |
+        # L bytes (class 10) | pad %3 | 3-byte sub-masks (8/9) | 3-byte
+        # sub-masks (10) | nibble exceptions | byte exceptions |
+        # bias exceptions (3/seg) | zero pad to Np |
+        # slot bias defaults (nslots*3) |
         # default-bias flags (nseg/8, bit i of byte j = seg 8j+i) |
         # cls 4-bit packed (nseg/2)]
         bits = payload_u8[:Np]
@@ -326,20 +327,22 @@ def _segs_decoder(nslots, H, W, top, nh, segw, Np, pad_value=114):
         b2p = ((q1 * k1 + q2 - 1) // q2) * q2
         b3p = ((b2p + q2 * k2 + q3 - 1) // q3) * q3
         brp = ((b3p + q3 * k3 + qr - 1) // qr) * qr
-        m4p = brp + qr * kr  # mask blocks stay q1-aligned (qr % q1 == 0)
-        m8p = m4p + q1 * k4m
-        nibp = m8p + q1 * k10m
+        l4p = brp + qr * kr  # L-byte blocks of the two-level masks
+        l8p = l4p + k4m
+        s4p = ((l8p + k10m + 2) // 3) * 3  # sub-mask rows: % 3 == 0
         # decode the WHOLE payload under each packing (cheap vector ops);
         # block alignment makes every segment's values land on a whole
         # decoded row: 1-bit rows from byte 0, 2-bit rows from b2p
         # (multiple of q2), 3-bit rows from b3p, raw rows from brp
-        d1 = jnp.stack(
+        dbits = jnp.stack(
             [
                 jnp.bitwise_and(jnp.right_shift(bits, u(k)), u(1))
                 for k in range(8)
             ],
             axis=-1,
-        ).reshape(-1, segb)
+        ).reshape(-1)
+        d1 = dbits.reshape(-1, segb)
+        d24 = dbits.reshape(-1, 24)  # sub-mask rows (3-byte bitmasks)
         d2 = jnp.stack(
             [
                 jnp.bitwise_and(bits, u(3)),
@@ -375,18 +378,47 @@ def _segs_decoder(nslots, H, W, top, nh, segw, Np, pad_value=114):
         g2 = jnp.take(d2, jnp.where(is2b, b2p // q2 + r2, 0), axis=0)
         g3 = jnp.take(d3, jnp.where(is3b, b3p // q3 + r3, 0), axis=0)
         gr = jnp.take(draw, jnp.where(isr, brp // qr + rr, 0), axis=0)
-        # sparse-exception machinery: gather each sparse segment's mask
-        # row, derive its value-stream offset as the exclusive cumsum of
-        # mask popcounts (segment order == block order), and gather its
-        # deviating values from the shared nibble/byte streams. All
-        # gathers; the value gathers clip out-of-range indices and the
-        # mask multiply zeroes any clipped garbage — scatter-free.
-        m4b = jnp.take(
-            d1, jnp.where(ismask4, m4p // q1 + rm4, 0), axis=0
-        ) * ismask4[:, None].astype(u)
-        m8b = jnp.take(
-            d1, jnp.where(is10, m8p // q1 + rm8, 0), axis=0
-        ) * is10[:, None].astype(u)
+        # sparse-exception machinery (two-level masks): gather each
+        # sparse segment's L byte, expand its dirty-sub-block bits,
+        # locate each dirty sub-block's 3-byte mask row via an exclusive
+        # cumsum of L popcounts (segment order == block order), gather
+        # and zero-fill the clean sub-blocks, then derive each segment's
+        # value-stream offset from the full mask popcount cumsum. All
+        # gathers; value gathers clip out-of-range indices and the mask
+        # multiply zeroes any clipped garbage — scatter-free.
+        nsb = segb // 24
+        L4 = jnp.take(bits, jnp.where(ismask4, l4p + rm4, 0)) * ismask4.astype(u)
+        L8 = jnp.take(bits, jnp.where(is10, l8p + rm8, 0)) * is10.astype(u)
+        lb4 = jnp.stack(
+            [jnp.bitwise_and(jnp.right_shift(L4, u(k)), u(1))
+             for k in range(nsb)],
+            axis=-1,
+        )  # (nseg, nsb)
+        lb8 = jnp.stack(
+            [jnp.bitwise_and(jnp.right_shift(L8, u(k)), u(1))
+             for k in range(nsb)],
+            axis=-1,
+        )
+        pd4 = lb4.astype(i32).sum(axis=1)
+        pd8 = lb8.astype(i32).sum(axis=1)
+        s8p = s4p + 3 * jnp.sum(pd4)
+        nibp = s8p + 3 * jnp.sum(pd8)
+        base4 = (jnp.cumsum(pd4) - pd4)[:, None] + (
+            jnp.cumsum(lb4.astype(i32), axis=1) - lb4.astype(i32)
+        )
+        base8 = (jnp.cumsum(pd8) - pd8)[:, None] + (
+            jnp.cumsum(lb8.astype(i32), axis=1) - lb8.astype(i32)
+        )
+        m4b = (
+            jnp.take(d24, jnp.where(lb4.astype(bool), s4p // 3 + base4, 0),
+                     axis=0)
+            * lb4[..., None]
+        ).reshape(nseg, segb)
+        m8b = (
+            jnp.take(d24, jnp.where(lb8.astype(bool), s8p // 3 + base8, 0),
+                     axis=0)
+            * lb8[..., None]
+        ).reshape(nseg, segb)
         pc4 = m4b.astype(i32).sum(axis=1)
         pc8 = m8b.astype(i32).sum(axis=1)
         in4 = jnp.cumsum(m4b.astype(i32), axis=1) - m4b.astype(i32)
@@ -648,8 +680,9 @@ class BatchStream:
         # streams once the bias block rides compressed (tools/
         # segs_byte_model.py); smaller widths pay more flag/class overhead
         # than their extra const segments save
+        # (<= 64: the two-level sparse masks' L byte covers 8 sub-blocks)
         self._segw = next(
-            (w for w in (40, 32, 48, 64, 80, 16, 24, 8) if imgsz % w == 0),
+            (w for w in (40, 32, 48, 64, 16, 24, 8) if imgsz % w == 0),
             None,
         )
         # per-slot mode engages when at most this many slots changed (beyond
@@ -1359,12 +1392,17 @@ class BatchStream:
             "p2": np.zeros(nseg * q2, np.uint8),
             "p3": np.zeros(nseg * q3, np.uint8),
             "raw": np.zeros(nseg * qr, np.uint8),
-            # sparse-exception classes (8/9/10): deviation-mask rows (q1
-            # bytes each, like the 1-bit rows) + nibble/byte value streams
-            # packed contiguously across segments. Sized for the worst
-            # case the cost-based selection can emit (cost < raw's segb)
-            "m4": np.zeros(nseg * q1, np.uint8),
-            "m8": np.zeros(nseg * q1, np.uint8),
+            # sparse-exception classes (8/9/10): two-level deviation
+            # masks — one L byte per sparse segment (dirty-sub-block
+            # bits) + a 3-byte bitmask per dirty 24-byte sub-block — and
+            # nibble/byte value streams packed contiguously across
+            # segments. Sized for the worst case the cost-based
+            # selection can emit (all sub-blocks dirty: 3*(segb/24) = q1
+            # sub-mask bytes per segment)
+            "m4": np.zeros(nseg, np.uint8),
+            "m8": np.zeros(nseg, np.uint8),
+            "s4": np.zeros(nseg * q1, np.uint8),
+            "s8": np.zeros(nseg * q1, np.uint8),
             "nib": np.zeros(nseg * segb, np.uint8),
             "byte": np.zeros(nseg * segb, np.uint8),
             "bias": np.zeros(nseg * 3, np.uint8),
@@ -1389,8 +1427,8 @@ class BatchStream:
         counts = native.seg_encode(
             crops, prev, 0, ch, segw,
             bufs["p1"], bufs["p2"], bufs["p3"], bufs["raw"], bufs["m4"],
-            bufs["m8"], bufs["nib"], bufs["byte"], bufs["bias"],
-            bufs["cls"],
+            bufs["m8"], bufs["s4"], bufs["s8"], bufs["nib"],
+            bufs["byte"], bufs["bias"], bufs["cls"],
         )
         if counts is None:
             return None
@@ -1450,18 +1488,18 @@ class BatchStream:
 
     @staticmethod
     def _assemble_segs_payload(bufs, pay_i, counts, qs, nseg, nslots, raw_bytes):
-        """Lay out [p1 | p2 | p3 | raw | m4 masks | m8 masks | nibble
-        exceptions | byte exceptions | bias exceptions | pad |
-        slot bias defaults | flags | cls] in one flat buffer (class blocks
-        aligned so the device decoder's rows land exactly; the mask blocks
-        are q1-row-aligned by construction since qr % q1 == 0). The dense
-        per-segment bias block compresses to a 3-byte default per slot
-        (the modal bias — the photometric shift) + a 1-bit flag per
-        segment + exception triples for the (clip-boundary) segments that
-        deviate. Returns (payload_view, np_bucket) or None when not
-        beneficial."""
+        """Lay out [p1 | p2 | p3 | raw | L4 bytes | L8 bytes | pad %3 |
+        s4 sub-masks | s8 sub-masks | nibble exceptions | byte exceptions
+        | bias exceptions | pad | slot bias defaults | flags | cls] in one
+        flat buffer (class blocks aligned so the device decoder's rows
+        land exactly; the 3-byte sub-mask rows start on a %3 boundary so
+        they land on whole 24-bit unpack rows). The dense per-segment
+        bias block compresses to a 3-byte default per slot (the modal
+        bias — the photometric shift) + a 1-bit flag per segment +
+        exception triples for the (clip-boundary) segments that deviate.
+        Returns (payload_view, np_bucket) or None when not beneficial."""
         q1, q2, q3, qr = qs
-        k1, k2, k3, kr, k4m, k10m, nz4, nz8 = counts
+        k1, k2, k3, kr, k4m, k10m, nz4, nz8, d4, d8 = counts
         sps = nseg // nslots  # segments per slot
         bias = bufs["bias"][: nseg * 3].reshape(nslots, sps, 3)
         # per-slot per-channel modal bias via one bincount per channel
@@ -1481,9 +1519,11 @@ class BatchStream:
         b2p = ((q1 * k1 + q2 - 1) // q2) * q2  # 2-bit block: % q2 == 0
         b3p = ((b2p + q2 * k2 + q3 - 1) // q3) * q3  # 3-bit block: % q3 == 0
         brp = ((b3p + q3 * k3 + qr - 1) // qr) * qr  # raw block: % qr == 0
-        m4p = brp + qr * kr  # mask blocks: % q1 == 0 (qr % q1 == 0)
-        m8p = m4p + q1 * k4m
-        nibp = m8p + q1 * k10m  # value streams (unaligned: byte gathers)
+        l4p = brp + qr * kr  # L-byte blocks (byte gathers)
+        l8p = l4p + k4m
+        s4p = ((l8p + k10m + 2) // 3) * 3  # sub-mask rows: % 3 == 0
+        s8p = s4p + 3 * d4
+        nibp = s8p + 3 * d8  # value streams (unaligned: byte gathers)
         nibb = (nz4 + 1) // 2
         bytp = nibp + nibb
         bep = bytp + nz8  # bias-exception block
@@ -1500,9 +1540,12 @@ class BatchStream:
         pay[b2p + q2 * k2 : b3p] = 0
         pay[b3p : b3p + q3 * k3] = bufs["p3"][: q3 * k3]
         pay[b3p + q3 * k3 : brp] = 0
-        pay[brp:m4p] = bufs["raw"][: qr * kr]
-        pay[m4p:m8p] = bufs["m4"][: q1 * k4m]
-        pay[m8p:nibp] = bufs["m8"][: q1 * k10m]
+        pay[brp:l4p] = bufs["raw"][: qr * kr]
+        pay[l4p:l8p] = bufs["m4"][:k4m]
+        pay[l8p : l8p + k10m] = bufs["m8"][:k10m]
+        pay[l8p + k10m : s4p] = 0
+        pay[s4p:s8p] = bufs["s4"][: 3 * d4]
+        pay[s8p:nibp] = bufs["s8"][: 3 * d8]
         pay[nibp:bytp] = bufs["nib"][:nibb]
         pay[bytp:bep] = bufs["byte"][:nz8]
         pay[bep:used] = exc.reshape(-1)
@@ -1538,8 +1581,8 @@ class BatchStream:
         counts = native.seg_encode(
             staging, self._prev_staging, top, nh, segw,
             bufs["p1"], bufs["p2"], bufs["p3"], bufs["raw"], bufs["m4"],
-            bufs["m8"], bufs["nib"], bufs["byte"], bufs["bias"],
-            bufs["cls"],
+            bufs["m8"], bufs["s4"], bufs["s8"], bufs["nib"],
+            bufs["byte"], bufs["bias"], bufs["cls"],
         )
         if counts is None:
             return None

@@ -468,13 +468,19 @@ int32_t tribit_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
 //                    measured 13.5%% of a jittered bench stream's segments.
 //   class 8 (sparse nibble, const base): cur = prev + bias + r where bias
 //                    is the per-channel MODAL delta and r != 0 on few
-//                    bytes, all |r| <= 7. Payload = a 1-bit deviation mask
-//                    (segb/8 B, rides its own mask block) + one signed
-//                    nibble per deviating byte in a shared nibble stream.
-//                    Round-5 measurement: payload segments' residuals are
-//                    SPARSE (median 14 deviating of 120 bytes on the bench
-//                    stream), so mask+nibbles beats the dense 2/3-bit
-//                    classes on most of their mass.
+//                    bytes, all |r| <= 7. Payload = a TWO-LEVEL deviation
+//                    mask (one L byte whose bits flag dirty 24-byte
+//                    sub-blocks, plus a 3-byte bitmask per dirty
+//                    sub-block — deviations cluster on clip boundaries,
+//                    so most sub-blocks are clean and the two-level form
+//                    averages ~7 B vs the flat segb/8-byte mask's 15) +
+//                    one signed nibble per deviating byte in a shared
+//                    nibble stream. Round-5 measurement: payload
+//                    segments' residuals are SPARSE (median 14 deviating
+//                    of 120 bytes on the bench stream), so mask+nibbles
+//                    beats the dense 2/3-bit classes on most of their
+//                    mass. Requires segb/24 <= 8 (segw <= 64) so the L
+//                    byte covers every sub-block.
 //   class 9 (sparse nibble, shift base): cur = clamp(prev + j) + r, r as
 //                    in class 8 but against the slot's clamp-shift
 //                    prediction (two-sided |r| <= 7 — strictly more
@@ -495,23 +501,27 @@ int32_t tribit_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
 // cumsum over the class array — no offsets on the wire); nibble/byte
 // exception streams pack contiguously ACROSS segments (the device derives
 // each segment's stream offset from an exclusive cumsum of mask
-// popcounts). Never fails; out_counts = {n_1bit, n_2bit, n_3bit, n_raw,
-// n_mask4 (classes 8+9), n_mask8 (class 10), nz_nibbles, nz_bytes}.
-// Requires segw % 8 == 0 (so segb % 24 == 0: whole 24-lane blocks only).
+// popcounts, and each dirty sub-block's 3-byte mask row from an
+// exclusive cumsum of L-byte popcounts). Never fails; out_counts =
+// {n_1bit, n_2bit, n_3bit, n_raw, n_mask4 (classes 8+9), n_mask8
+// (class 10), nz_nibbles, nz_bytes, n_dirty4, n_dirty8}.
+// Requires segw % 8 == 0 (so segb % 24 == 0: whole 24-lane blocks only)
+// and segw <= 64 (two-level mask L byte covers <= 8 sub-blocks).
 // ---------------------------------------------------------------------------
 int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
                    int32_t nh, int32_t width, int64_t slot_stride,
                    int32_t segw, uint8_t *out_p1, uint8_t *out_p2,
                    uint8_t *out_p3, uint8_t *out_raw, uint8_t *out_m4,
-                   uint8_t *out_m8, uint8_t *out_nib, uint8_t *out_byte,
+                   uint8_t *out_m8, uint8_t *out_s4, uint8_t *out_s8,
+                   uint8_t *out_nib, uint8_t *out_byte,
                    uint8_t *out_bias, uint8_t *out_cls,
                    int64_t *out_counts) {
-  if (segw % 8 != 0 || width % segw != 0) return 0;
+  if (segw % 8 != 0 || width % segw != 0 || segw > 64) return 0;
   const int64_t row_bytes = (int64_t)width * 3;
   const int32_t nsegrow = width / segw;
   const int64_t segb = (int64_t)segw * 3;  // % 24 == 0
   int64_t k1 = 0, k2 = 0, k3 = 0, kr = 0, seg_i = 0;
-  int64_t k4m = 0, k10m = 0, nz4 = 0, nz8 = 0;
+  int64_t k4m = 0, k10m = 0, nz4 = 0, nz8 = 0, d4 = 0, d8 = 0;
   std::vector<uint8_t> xbuf((size_t)segb);  // recentered deltas scratch
   uint8_t lut[3][256];  // per-slot clamp-shift table: lut[ch][p]=clamp(p+j)
   for (int32_t s = 0; s < nslots; ++s) {
@@ -644,34 +654,12 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
         } else if (span == 0) {
           out_cls[seg_i] = 0;
           for (int ch = 0; ch < 3; ++ch) bias[ch] = (uint8_t)cmn[ch];
-        } else if (span <= 1) {
-          out_cls[seg_i] = 1;
-          uint8_t add24[24];  // (-bias) per lane
-          for (int ch = 0; ch < 3; ++ch) {
-            int16_t b = (int16_t)(cmx[ch] - 1);
-            if (b < 0) b = 0;
-            if (b > cmn[ch]) b = cmn[ch];
-            bias[ch] = (uint8_t)b;
-            for (int rep = ch; rep < 24; rep += 3) add24[rep] = (uint8_t)(-b);
-          }
-          uint8_t *o = out_p1 + (size_t)k1 * (segb / 8);
-          for (int64_t i = 0; i + 24 <= segb; i += 24, o += 3) {
-            uint8_t v[24];
-            for (int k = 0; k < 24; ++k)
-              v[k] = (uint8_t)((uint8_t)(c[i + k] - p[i + k] + add24[k]) & 1);
-            for (int gg = 0; gg < 3; ++gg) {
-              const uint8_t *w = v + gg * 8;
-              o[gg] = (uint8_t)(w[0] | (uint8_t)(w[1] << 1) |
-                                (uint8_t)(w[2] << 2) | (uint8_t)(w[3] << 3) |
-                                (uint8_t)(w[4] << 4) | (uint8_t)(w[5] << 5) |
-                                (uint8_t)(w[6] << 6) | (uint8_t)(w[7] << 7));
-            }
-          }
-          ++k1;
         } else {
-          // ---- exact byte-cost selection: dense 2/6/3/7 vs sparse 8/9/10
-          // vs raw (preference on cost ties: 2,6,3,7,8,9,10,raw — the
-          // numpy mirror replicates this order bit-for-bit)
+          // ---- exact byte-cost selection: dense 1/2/6/3/7 vs sparse
+          // 8/9/10 vs raw (preference on cost ties: 1,2,6,3,7,8,9,10,raw
+          // — the numpy mirror replicates this order bit-for-bit).
+          // Sparse cost = 1 L byte + 3 B per dirty 24-byte sub-block +
+          // the value stream (two-level mask).
           const int32_t q1b = (int32_t)(segb / 8);
           const int32_t q2b = (int32_t)(segb / 4);
           const int32_t q3b = (int32_t)(segb * 3 / 8);
@@ -700,16 +688,22 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
           // nibble class is the mod-256 window r in [-8, 7] — exactly the
           // range a signed nibble decodes bit-exactly, so alias cases
           // (|true r| huge but congruent) are admitted AND correct.
-          int32_t nz_c = 0;
+          int32_t nz_c = 0, db_c = 0;
           uint8_t bad8 = 0;
           {
             uint8_t cnt24[24] = {0}, bad24[24] = {0};
             for (int64_t i = 0; i + 24 <= segb; i += 24) {
+              uint8_t any24[24];
               for (int k = 0; k < 24; ++k) {
                 const uint8_t u = (uint8_t)(xv[i + k] - bx24[k]);
-                cnt24[k] += (uint8_t)(u != 0);
+                const uint8_t nzb = (uint8_t)(u != 0);
+                cnt24[k] += nzb;
+                any24[k] = nzb;
                 bad24[k] |= (uint8_t)((uint8_t)(u + 8) > 15);
               }
+              uint8_t any = 0;
+              for (int k = 0; k < 24; ++k) any |= any24[k];
+              db_c += (any != 0);
             }
             for (int k = 0; k < 24; ++k) {
               nz_c += cnt24[k];
@@ -722,7 +716,7 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
           // threshold check on prev — the common mid-range case), e is
           // just (delta - j) mod 256 and the whole pass runs in u8 lanes;
           // only clip-danger segments take the scalar LUT walk.
-          int32_t nz_s = 0;
+          int32_t nz_s = 0, db_s = 0;
           bool fit6 = jvalid, fit7 = jvalid, fit9 = jvalid;
           int16_t off6[3] = {0, 0, 0}, off7[3] = {0, 0, 0};
           if (jvalid) {
@@ -746,28 +740,40 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
             uint8_t p6a[24] = {0}, n6a[24] = {0};
             uint8_t p7a[24] = {0}, n7a[24] = {0};
             if (!danger) {
-              for (int64_t i = 0; i + 24 <= segb; i += 24)
+              for (int64_t i = 0; i + 24 <= segb; i += 24) {
+                uint8_t any = 0;
                 for (int k = 0; k < 24; ++k) {
                   const uint8_t e =
                       (uint8_t)((uint8_t)(xv[i + k] ^ 0x80) - jm24[k]);
-                  cnt24[k] += (uint8_t)(e != 0);
+                  const uint8_t nzb = (uint8_t)(e != 0);
+                  cnt24[k] += nzb;
+                  any |= nzb;
                   bad24[k] |= (uint8_t)((uint8_t)(e + 8) > 15);
                   p6a[k] |= (uint8_t)(e > 3);
                   n6a[k] |= (uint8_t)((uint8_t)(e + 3) > 3);
                   p7a[k] |= (uint8_t)(e > 7);
                   n7a[k] |= (uint8_t)((uint8_t)(e + 7) > 7);
                 }
+                db_s += (any != 0);
+              }
             } else {
               int ch = 0;
+              uint8_t any = 0;
               for (int64_t i = 0; i < segb; ++i) {
                 const uint8_t e = (uint8_t)(c[i] - lut[ch][p[i]]);
-                cnt24[ch] += (uint8_t)(e != 0);
+                const uint8_t nzb = (uint8_t)(e != 0);
+                cnt24[ch] += nzb;
+                any |= nzb;
                 bad24[ch] |= (uint8_t)((uint8_t)(e + 8) > 15);
                 p6a[ch] |= (uint8_t)(e > 3);
                 n6a[ch] |= (uint8_t)((uint8_t)(e + 3) > 3);
                 p7a[ch] |= (uint8_t)(e > 7);
                 n7a[ch] |= (uint8_t)((uint8_t)(e + 7) > 7);
                 ch = ch == 2 ? 0 : ch + 1;
+                if ((i + 1) % 24 == 0) {
+                  db_s += (any != 0);
+                  any = 0;
+                }
               }
             }
             uint8_t bad9 = 0;
@@ -792,14 +798,16 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
               else fit7 = false;
             }
           }
+          const int32_t c1c = span <= 1 ? q1b : INF;
           const int32_t c2c = span <= 3 ? q2b : INF;
           const int32_t c6c = fit6 ? q2b : INF;
           const int32_t c3c = span <= 7 ? q3b : INF;
           const int32_t c7c = fit7 ? q3b : INF;
-          const int32_t c8c = !bad8 ? q1b + (nz_c + 1) / 2 : INF;
-          const int32_t c9c = fit9 ? q1b + (nz_s + 1) / 2 : INF;
-          const int32_t c10c = q1b + nz_c;
+          const int32_t c8c = !bad8 ? 1 + 3 * db_c + (nz_c + 1) / 2 : INF;
+          const int32_t c9c = fit9 ? 1 + 3 * db_s + (nz_s + 1) / 2 : INF;
+          const int32_t c10c = 1 + 3 * db_c + nz_c;
           int32_t best = (int32_t)segb;  // raw
+          if (c1c < best) best = c1c;
           if (c2c < best) best = c2c;
           if (c6c < best) best = c6c;
           if (c3c < best) best = c3c;
@@ -807,7 +815,33 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
           if (c8c < best) best = c8c;
           if (c9c < best) best = c9c;
           if (c10c < best) best = c10c;
-          if (c2c == best) {
+          if (c1c == best) {
+            out_cls[seg_i] = 1;
+            uint8_t add24[24];  // (-bias) per lane
+            for (int ch = 0; ch < 3; ++ch) {
+              int16_t b = (int16_t)(cmx[ch] - 1);
+              if (b < 0) b = 0;
+              if (b > cmn[ch]) b = cmn[ch];
+              bias[ch] = (uint8_t)b;
+              for (int rep = ch; rep < 24; rep += 3)
+                add24[rep] = (uint8_t)(-b);
+            }
+            uint8_t *o = out_p1 + (size_t)k1 * (segb / 8);
+            for (int64_t i = 0; i + 24 <= segb; i += 24, o += 3) {
+              uint8_t v[24];
+              for (int k = 0; k < 24; ++k)
+                v[k] =
+                    (uint8_t)((uint8_t)(c[i + k] - p[i + k] + add24[k]) & 1);
+              for (int gg = 0; gg < 3; ++gg) {
+                const uint8_t *w = v + gg * 8;
+                o[gg] = (uint8_t)(w[0] | (uint8_t)(w[1] << 1) |
+                                  (uint8_t)(w[2] << 2) | (uint8_t)(w[3] << 3) |
+                                  (uint8_t)(w[4] << 4) | (uint8_t)(w[5] << 5) |
+                                  (uint8_t)(w[6] << 6) | (uint8_t)(w[7] << 7));
+              }
+            }
+            ++k1;
+          } else if (c2c == best) {
             out_cls[seg_i] = 2;
             uint8_t add12[12];  // (2 - bias) per position, period lcm(3, 4)
             for (int ch = 0; ch < 3; ++ch) {
@@ -906,13 +940,15 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
           } else if (c8c == best) {
             out_cls[seg_i] = 8;
             for (int ch = 0; ch < 3; ++ch) bias[ch] = (uint8_t)biasc[ch];
-            uint8_t *m = out_m4 + (size_t)k4m * q1b;
-            for (int32_t b = 0; b < q1b; ++b) m[b] = 0;
+            uint8_t L = 0;
+            uint8_t sm[8][3] = {};
             int ch = 0;
             for (int64_t i = 0; i < segb; ++i) {
               const uint8_t u = (uint8_t)(xv[i] - bx24[ch]);
               if (u) {
-                m[i >> 3] |= (uint8_t)(1u << (i & 7));
+                const int sb = (int)(i / 24), bp = (int)(i % 24);
+                L |= (uint8_t)(1u << sb);
+                sm[sb][bp >> 3] |= (uint8_t)(1u << (bp & 7));
                 const uint8_t v = (uint8_t)((uint8_t)(u + 8) & 0xF);
                 if (nz4 & 1) out_nib[nz4 >> 1] |= (uint8_t)(v << 4);
                 else out_nib[nz4 >> 1] = v;
@@ -920,18 +956,28 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
               }
               ch = ch == 2 ? 0 : ch + 1;
             }
+            out_m4[k4m] = L;
+            for (int sb = 0; sb < (int)(segb / 24); ++sb)
+              if (L & (1u << sb)) {
+                out_s4[d4 * 3] = sm[sb][0];
+                out_s4[d4 * 3 + 1] = sm[sb][1];
+                out_s4[d4 * 3 + 2] = sm[sb][2];
+                ++d4;
+              }
             ++k4m;
           } else if (c9c == best) {
             out_cls[seg_i] = 9;
             for (int ch = 0; ch < 3; ++ch)
               bias[ch] = (uint8_t)((jj[ch] + 64) & 0x7F);
-            uint8_t *m = out_m4 + (size_t)k4m * q1b;
-            for (int32_t b = 0; b < q1b; ++b) m[b] = 0;
+            uint8_t L = 0;
+            uint8_t sm[8][3] = {};
             int ch = 0;
             for (int64_t i = 0; i < segb; ++i) {
               const uint8_t e = (uint8_t)(c[i] - lut[ch][p[i]]);
               if (e) {
-                m[i >> 3] |= (uint8_t)(1u << (i & 7));
+                const int sb = (int)(i / 24), bp = (int)(i % 24);
+                L |= (uint8_t)(1u << sb);
+                sm[sb][bp >> 3] |= (uint8_t)(1u << (bp & 7));
                 const uint8_t v = (uint8_t)((uint8_t)(e + 8) & 0xF);
                 if (nz4 & 1) out_nib[nz4 >> 1] |= (uint8_t)(v << 4);
                 else out_nib[nz4 >> 1] = v;
@@ -939,21 +985,39 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
               }
               ch = ch == 2 ? 0 : ch + 1;
             }
+            out_m4[k4m] = L;
+            for (int sb = 0; sb < (int)(segb / 24); ++sb)
+              if (L & (1u << sb)) {
+                out_s4[d4 * 3] = sm[sb][0];
+                out_s4[d4 * 3 + 1] = sm[sb][1];
+                out_s4[d4 * 3 + 2] = sm[sb][2];
+                ++d4;
+              }
             ++k4m;
           } else if (c10c == best) {
             out_cls[seg_i] = 10;
             for (int ch = 0; ch < 3; ++ch) bias[ch] = (uint8_t)biasc[ch];
-            uint8_t *m = out_m8 + (size_t)k10m * q1b;
-            for (int32_t b = 0; b < q1b; ++b) m[b] = 0;
+            uint8_t L = 0;
+            uint8_t sm[8][3] = {};
             int ch = 0;
             for (int64_t i = 0; i < segb; ++i) {
               const uint8_t u = (uint8_t)(xv[i] - bx24[ch]);
               if (u) {
-                m[i >> 3] |= (uint8_t)(1u << (i & 7));
+                const int sb = (int)(i / 24), bp = (int)(i % 24);
+                L |= (uint8_t)(1u << sb);
+                sm[sb][bp >> 3] |= (uint8_t)(1u << (bp & 7));
                 out_byte[nz8++] = u;
               }
               ch = ch == 2 ? 0 : ch + 1;
             }
+            out_m8[k10m] = L;
+            for (int sb = 0; sb < (int)(segb / 24); ++sb)
+              if (L & (1u << sb)) {
+                out_s8[d8 * 3] = sm[sb][0];
+                out_s8[d8 * 3 + 1] = sm[sb][1];
+                out_s8[d8 * 3 + 2] = sm[sb][2];
+                ++d8;
+              }
             ++k10m;
           } else {
             out_cls[seg_i] = 4;
@@ -973,6 +1037,8 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
   out_counts[5] = k10m;
   out_counts[6] = nz4;
   out_counts[7] = nz8;
+  out_counts[8] = d4;
+  out_counts[9] = d8;
   return 1;
 }
 

@@ -346,6 +346,7 @@ def test_seg_encode_native_matches_numpy():
         bufs = (
             np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q2, np.uint8),
             np.zeros(nseg * q3, np.uint8), np.zeros(nseg * qr, np.uint8),
+            np.zeros(nseg, np.uint8), np.zeros(nseg, np.uint8),
             np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q1, np.uint8),
             np.zeros(nseg * segb, np.uint8), np.zeros(nseg * segb, np.uint8),
             np.zeros(nseg * 3, np.uint8), np.zeros(nseg, np.uint8),
@@ -358,14 +359,14 @@ def test_seg_encode_native_matches_numpy():
     cn, bn = run(False)
     cp, bp = run(True)
     assert cn == cp and cn is not None
-    k1, k2, k3, kr, k4m, k10m, nz4, nz8 = cn
-    # all dense payload classes + the sparse-byte class (the repaint's
-    # fully-random 8-px segments: nz <= 21 of 24 after the modal bias, so
-    # cost q1+nz ties-or-beats raw's 24 and class 10 wins — raw can never
-    # win at segw=8, which the cost model makes an invariant)
+    k1, k2, k3, kr, k4m, k10m, nz4, nz8, d4t, d8t = cn
+    # all dense payload classes + the repaint's fully-random 8-px
+    # segments split between sparse-byte (nz <= 20: two-level mask cost
+    # 1 + 3 + nz beats raw's 24) and raw (nz = 21, i.e. every channel's
+    # modal delta is unique — the common case for pure noise)
     assert k1 > 0 and k2 > 0 and k3 > 0 and k10m > 0 and nz8 > 0
-    assert kr == 0
-    cls_hist = np.bincount(bn[9], minlength=6)
+    assert kr > 0
+    cls_hist = np.bincount(bn[11], minlength=6)
     assert cls_hist[0] > 0  # const segments too
     assert cls_hist[5] > 0  # clamp-shift segments (clipped +3 shift)
     for a, b in zip(bn, bp):
@@ -466,8 +467,8 @@ def test_segs_payload_roundtrip_decoder():
     bufs = BatchStream._make_segs_bufs(segw, nseg, raw_act, 1)
     counts = native_mod.seg_encode(
         cur, prev, top, nh, segw, bufs["p1"], bufs["p2"], bufs["p3"],
-        bufs["raw"], bufs["m4"], bufs["m8"], bufs["nib"], bufs["byte"],
-        bufs["bias"], bufs["cls"],
+        bufs["raw"], bufs["m4"], bufs["m8"], bufs["s4"], bufs["s8"],
+        bufs["nib"], bufs["byte"], bufs["bias"], bufs["cls"],
     )
     assert counts is not None
     enc = BatchStream._assemble_segs_payload(
@@ -700,6 +701,7 @@ def test_seg_encode_whole_slot_clamp_shift_fast_path():
         bufs = (
             np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q2, np.uint8),
             np.zeros(nseg * q3, np.uint8), np.zeros(nseg * qr, np.uint8),
+            np.zeros(nseg, np.uint8), np.zeros(nseg, np.uint8),
             np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q1, np.uint8),
             np.zeros(nseg * segb, np.uint8), np.zeros(nseg * segb, np.uint8),
             np.zeros(nseg * 3, np.uint8), np.zeros(nseg, np.uint8),
@@ -716,12 +718,12 @@ def test_seg_encode_whole_slot_clamp_shift_fast_path():
         for a, b in zip(bn, bp):
             np.testing.assert_array_equal(a, b)
     sps = nh * (W // segw)
-    assert (bn[9][:sps] == 5).all()  # slot 0: every segment clamp-shift
+    assert (bn[11][:sps] == 5).all()  # slot 0: every segment clamp-shift
     exp = np.array([3, 256 - 5, 2], np.uint8)
     np.testing.assert_array_equal(
-        bn[8][: sps * 3].reshape(-1, 3), np.broadcast_to(exp, (sps, 3))
+        bn[10][: sps * 3].reshape(-1, 3), np.broadcast_to(exp, (sps, 3))
     )
-    assert (bn[9][sps : 2 * sps] != 5).any()  # slot 1 repainted -> mixed
+    assert (bn[11][sps : 2 * sps] != 5).any()  # slot 1 repainted -> mixed
 
 
 def _tiny_stream(batch=2, delta=True, **kw):
@@ -897,6 +899,7 @@ def test_seg_encode_sparse_exception_classes_roundtrip():
         bufs = (
             np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q2, np.uint8),
             np.zeros(nseg * q3, np.uint8), np.zeros(nseg * qr, np.uint8),
+            np.zeros(nseg, np.uint8), np.zeros(nseg, np.uint8),
             np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q1, np.uint8),
             np.zeros(nseg * segb, np.uint8), np.zeros(nseg * segb, np.uint8),
             np.zeros(nseg * 3, np.uint8), np.zeros(nseg, np.uint8),
@@ -912,8 +915,8 @@ def test_seg_encode_sparse_exception_classes_roundtrip():
         assert cn == cp
         for a, b in zip(bn, bp):
             np.testing.assert_array_equal(a, b)
-    k1, k2, k3, kr, k4m, k10m, nz4, nz8 = cp
-    hist = np.bincount(bp[9], minlength=11)
+    k1, k2, k3, kr, k4m, k10m, nz4, nz8, d4t, d8t = cp
+    hist = np.bincount(bp[11], minlength=11)
     assert hist[8] > 0, f"sparse-nibble const class never engaged: {hist}"
     assert hist[10] > 0 and nz8 > 0, f"sparse-byte class never engaged: {hist}"
     assert kr > 0, f"dense repaint must stay raw at 40px segments: {hist}"
@@ -923,8 +926,9 @@ def test_seg_encode_sparse_exception_classes_roundtrip():
     sbufs = BatchStream._make_segs_bufs(segw, nseg, nslots * nh * W * 3, 1)
     counts = native_mod.seg_encode(
         cur, prev, top, nh, segw, sbufs["p1"], sbufs["p2"], sbufs["p3"],
-        sbufs["raw"], sbufs["m4"], sbufs["m8"], sbufs["nib"],
-        sbufs["byte"], sbufs["bias"], sbufs["cls"],
+        sbufs["raw"], sbufs["m4"], sbufs["m8"], sbufs["s4"],
+        sbufs["s8"], sbufs["nib"], sbufs["byte"], sbufs["bias"],
+        sbufs["cls"],
     )
     enc = BatchStream._assemble_segs_payload(
         sbufs, 0, counts, (q1, q2, q3, qr), nseg, nslots,
@@ -990,6 +994,7 @@ def test_seg_encode_shift_residual_classes_clip_boundary():
         bufs = (
             np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q2, np.uint8),
             np.zeros(nseg * q3, np.uint8), np.zeros(nseg * qr, np.uint8),
+            np.zeros(nseg, np.uint8), np.zeros(nseg, np.uint8),
             np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q1, np.uint8),
             np.zeros(nseg * segb, np.uint8), np.zeros(nseg * segb, np.uint8),
             np.zeros(nseg * 3, np.uint8), np.zeros(nseg, np.uint8),
@@ -1006,7 +1011,7 @@ def test_seg_encode_shift_residual_classes_clip_boundary():
         for a, b in zip(bn, bp):
             assert np.array_equal(a, b)
     counts, bufs_t = cp, bp
-    hist = np.bincount(bufs_t[9], minlength=11)
+    hist = np.bincount(bufs_t[11], minlength=11)
     assert hist[6] > 0 and hist[7] > 0, f"shift-residual never engaged: {hist}"
     # the repaint's fully-random segments land in raw or sparse-byte
     # (whichever is byte-cheaper) — never in the highlight rows' classes
@@ -1017,8 +1022,9 @@ def test_seg_encode_shift_residual_classes_clip_boundary():
     sbufs = BatchStream._make_segs_bufs(segw, nseg, nslots * nh * W * 3, 1)
     counts = native_mod.seg_encode(
         cur, prev, top, nh, segw, sbufs["p1"], sbufs["p2"], sbufs["p3"],
-        sbufs["raw"], sbufs["m4"], sbufs["m8"], sbufs["nib"],
-        sbufs["byte"], sbufs["bias"], sbufs["cls"],
+        sbufs["raw"], sbufs["m4"], sbufs["m8"], sbufs["s4"],
+        sbufs["s8"], sbufs["nib"], sbufs["byte"], sbufs["bias"],
+        sbufs["cls"],
     )
     enc = BatchStream._assemble_segs_payload(
         sbufs, 0, counts, (q1, q2, q3, qr), nseg, nslots,

@@ -104,15 +104,16 @@ def main():
         bufs = (
             np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q2, np.uint8),
             np.zeros(nseg * q3, np.uint8), np.zeros(nseg * qr, np.uint8),
+            np.zeros(nseg, np.uint8), np.zeros(nseg, np.uint8),
             np.zeros(nseg * q1, np.uint8), np.zeros(nseg * q1, np.uint8),
             np.zeros(nseg * segb, np.uint8), np.zeros(nseg * segb, np.uint8),
             np.zeros(nseg * 3, np.uint8), np.zeros(nseg, np.uint8),
         )
         counts = native.seg_encode(b, a, 0, 64, segw, *bufs)
-        k1, k2, k3, kr, k4m, k10m, nz4, nz8 = counts
+        k1, k2, k3, kr, k4m, k10m, nz4, nz8, d4, d8 = counts
         k0 = nseg - k1 - k2 - k3 - kr - k4m - k10m
         payload = (q1 * k1 + q2 * k2 + q3 * k3 + qr * kr
-                   + q1 * (k4m + k10m) + (nz4 + 1) // 2 + nz8)
+                   + k4m + k10m + 3 * (d4 + d8) + (nz4 + 1) // 2 + nz8)
         print(
             f"{fi}->{(fi + 1) % 8}: const={k0} 1b={k1} 2b={k2} 3b={k3} "
             f"raw={kr} sp4={k4m} sp8={k10m} "

@@ -36,17 +36,19 @@ def seg_stats(cur, prev, top, nh, segw, nslots):
     p2 = np.zeros(nseg * q2, np.uint8)
     p3 = np.zeros(nseg * q3, np.uint8)
     raw = np.zeros(nseg * qr, np.uint8)
-    m4 = np.zeros(nseg * q1, np.uint8)
-    m8 = np.zeros(nseg * q1, np.uint8)
+    m4 = np.zeros(nseg, np.uint8)
+    m8 = np.zeros(nseg, np.uint8)
+    s4 = np.zeros(nseg * q1, np.uint8)
+    s8 = np.zeros(nseg * q1, np.uint8)
     nib = np.zeros(nseg * segb, np.uint8)
     byt = np.zeros(nseg * segb, np.uint8)
     bias = np.zeros(nseg * 3, np.uint8)
     cls = np.zeros(nseg, np.uint8)
     counts = native.seg_encode(cur, prev, top, nh, segw, p1, p2, p3, raw,
-                               m4, m8, nib, byt, bias, cls)
+                               m4, m8, s4, s8, nib, byt, bias, cls)
     if counts is None:
         return None
-    k1, k2, k3, kr, k4m, k10m, nz4, nz8 = counts
+    k1, k2, k3, kr, k4m, k10m, nz4, nz8, d4, d8 = counts
     c = np.bincount(cls[:nseg], minlength=11)
     # bias exceptions: per-slot modal bias, exceptions pay 3 B each
     sps = nseg // nslots
@@ -63,7 +65,7 @@ def seg_stats(cur, prev, top, nh, segw, nslots):
         "cls_counts": {i: int(c[i]) for i in range(11) if c[i]},
         "bytes": {
             "p1": q1 * k1, "p2": q2 * k2, "p3": q3 * k3, "raw": qr * kr,
-            "masks": q1 * (k4m + k10m),
+            "masks": k4m + k10m + 3 * (d4 + d8),
             "nib_exc": (nz4 + 1) // 2, "byte_exc": nz8,
             "bias_exc": 3 * ke,
             "flags": (nseg + 7) // 8, "cls": (nseg + 1) // 2,

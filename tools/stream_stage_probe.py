@@ -55,7 +55,7 @@ def main():
     if segc:
         tot = [sum(c[i] for c in segc) for i in range(len(segc[0]))]
         nseg = tot[0]
-        if len(tot) >= 9:  # nseg, k1, k2, k3, kraw, km4, km8, nz4, nz8
+        if len(tot) >= 11:  # nseg,k1,k2,k3,kraw,km4,km8,nz4,nz8,d4,d8
             payload_segs = sum(tot[1:7])
             seg_split = {
                 "segments": nseg // len(segc),
