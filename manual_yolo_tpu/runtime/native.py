@@ -406,9 +406,9 @@ def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
         np.where(fit6, q2b, INF),
         np.where(span <= 7, q3b, INF),
         np.where(fit7, q3b, INF),
-        np.where(fit8, 1 + 3 * db_c + (nz_c + 1) // 2, INF),
+        np.where(fit8, 4 + 3 * db_c + (nz_c + 1) // 2, INF),
         np.where(fit9, 1 + 3 * db_s + (nz_s + 1) // 2, INF),
-        1 + 3 * db_c + nz_c,
+        4 + 3 * db_c + nz_c,
         np.full(nseg_tot, segb, np.int64),
     ])
     classmap = np.array([1, 2, 6, 3, 7, 8, 9, 10, 4], np.int64)
@@ -426,7 +426,7 @@ def _seg_encode_numpy(cur_act, prev_act, segw, out_p1, out_p2, out_p3,
     jseg = np.repeat(jj, nh * seg, axis=0)
     m67 = np.where((cls == 6)[:, None], m6, m7)
     b67 = ((jseg + 64) & 0x7F) | (m67.astype(np.int16) << 7)
-    b9 = (jseg + 64) & 0x7F
+    b9 = jseg  # class-5 byte convention (mod-256 of the slot shift)
     bias = np.select(
         [cls[:, None] == 0, cls[:, None] == 5, cls[:, None] == 1,
          cls[:, None] == 2, cls[:, None] == 3,

@@ -478,10 +478,12 @@ def _segs_decoder(nslots, H, W, top, nh, segw, Np, pad_value=114):
         new6 = shifted67 + g2 + m67 * u(253)  # +e, e = v - 3m (mod 256)
         new7 = shifted67 + g3 + m67 * u(249)  # +e, e = v - 7m (mod 256)
         # sparse classes: const base (8/10) or clamp-shift base (9; its
-        # bias byte is the class-6/7 j code with bit 7 clear, so the
-        # shifted67 plane IS its base), plus the masked exception values
+        # bias byte uses the class-5 signed-j convention, so the class-5
+        # `shifted` plane IS its base — and the byte equals the slot
+        # default on a photometric tick, riding the flag compression),
+        # plus the masked exception values
         new8 = pact + biasx + r4v
-        new9 = shifted67 + r4v
+        new9 = shifted + r4v
         new10 = pact + biasx + r8v
         newseg = jnp.where(
             isr[:, None], gr,

@@ -28,7 +28,6 @@
 #include <new>
 #include <unistd.h>
 #include <vector>
-#include <vector>
 
 extern "C" {
 
@@ -803,9 +802,13 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
           const int32_t c6c = fit6 ? q2b : INF;
           const int32_t c3c = span <= 7 ? q3b : INF;
           const int32_t c7c = fit7 ? q3b : INF;
-          const int32_t c8c = !bad8 ? 1 + 3 * db_c + (nz_c + 1) / 2 : INF;
+          // classes 8/10 carry a per-segment modal bias that almost never
+          // matches the slot default -> +3 B bias-exception cost; class
+          // 9's bias is the slot shift j in the class-5 byte convention,
+          // which IS the slot default on a photometric tick -> free
+          const int32_t c8c = !bad8 ? 4 + 3 * db_c + (nz_c + 1) / 2 : INF;
           const int32_t c9c = fit9 ? 1 + 3 * db_s + (nz_s + 1) / 2 : INF;
-          const int32_t c10c = 1 + 3 * db_c + nz_c;
+          const int32_t c10c = 4 + 3 * db_c + nz_c;
           int32_t best = (int32_t)segb;  // raw
           if (c1c < best) best = c1c;
           if (c2c < best) best = c2c;
@@ -968,7 +971,7 @@ int32_t seg_encode(const uint8_t *cur, const uint8_t *prev, int32_t nslots,
           } else if (c9c == best) {
             out_cls[seg_i] = 9;
             for (int ch = 0; ch < 3; ++ch)
-              bias[ch] = (uint8_t)((jj[ch] + 64) & 0x7F);
+              bias[ch] = (uint8_t)jj[ch];  // class-5 convention
             uint8_t L = 0;
             uint8_t sm[8][3] = {};
             int ch = 0;

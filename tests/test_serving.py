@@ -864,10 +864,18 @@ def test_seg_encode_sparse_exception_classes_roundtrip():
     prev = rng.integers(30, 220, (nslots, H, W, 3), np.uint8)
     cur = prev.copy()
     act = slice(top, top + nh)
-    # slot 0 rows 0..15: constant content with FEW scattered small
-    # deviations -> sparse nibble over const base (class 8: mask 15 B +
-    # nibbles beats dense 2/3-bit 30/45 B)
-    for r in range(16):
+    # slot 0 rows 0..7: uniform +5 shift (the slot's jj candidate comes
+    # from here); rows 8..15: uniform -3 shift + FEW scattered small
+    # deviations — the shift base (j=+5) misses every byte there while
+    # the const-modal base (-3) leaves only the scattered deviants, so
+    # the sparse nibble CONST class (8) is the byte-cheapest
+    cur[0, top : top + 8] = np.clip(
+        cur[0, top : top + 8].astype(np.int16) + 5, 0, 255
+    ).astype(np.uint8)
+    cur[0, top + 8 : top + 16] = np.clip(
+        cur[0, top + 8 : top + 16].astype(np.int16) - 3, 0, 255
+    ).astype(np.uint8)
+    for r in range(8, 16):
         row = top + r
         idx = rng.choice(W * 3, size=10, replace=False)
         flat = cur[0, row].reshape(-1)
