@@ -58,8 +58,8 @@ IN_FLIGHT = 2
 # keeps total exposure ~1100 s with margin, and attempt 1 long enough to
 # absorb a 500 s terminal compile wave (the wave varies 54-505 s run to
 # run; tools/firstexec_probe.py) and still measure.
-ATTEMPT_TIMEOUT = int(os.environ.get("MYOLO_BENCH_ATTEMPT_TIMEOUT", "720"))
-RETRY_TIMEOUT = int(os.environ.get("MYOLO_BENCH_RETRY_TIMEOUT", "360"))
+ATTEMPT_TIMEOUT = int(os.environ.get("MYOLO_BENCH_ATTEMPT_TIMEOUT", "780"))
+RETRY_TIMEOUT = int(os.environ.get("MYOLO_BENCH_RETRY_TIMEOUT", "300"))
 SOFT_DEADLINE = ATTEMPT_TIMEOUT - 90  # inner: stop starting new phases here
 WARMUP_DEADLINE = ATTEMPT_TIMEOUT - 180  # inner: abandon remaining warmup here
 
@@ -288,7 +288,7 @@ def next_batch(frames, advance: bool = True):
 
 def warmup_stream(stream, frames, deadline: float | None = None,
                   warm_batches: int = WARM_BATCHES, field_ocr=None,
-                  min_batches: int = 0) -> int:
+                  min_batches: int = 0, on_batch=None) -> int:
     """Compile the delta-mode programs: raw (first batch), skip (repeat),
     then the per-segment mode across several stream deltas so every
     payload-size bucket the stream will hit is compiled before measurement
@@ -328,6 +328,8 @@ def warmup_stream(stream, frames, deadline: float | None = None,
                   f"collect {t2 - t1:.1f}s ocr {time.perf_counter() - t2:.1f}s "
                   f"modes {dict(stream.mode_counts)}",
                   file=sys.stderr, flush=True)
+        if on_batch is not None:
+            on_batch(warmed, time.perf_counter() - t0)
         if (deadline is not None and warmed >= min_batches
                 and time.perf_counter() > deadline):
             break
@@ -586,16 +588,52 @@ def run_measurement():
     # full reference per-frame stack, detect.py:580-600): raw, skip, the
     # first segs/fused buckets, the recognizer memo fill. The first
     # collect pays the overlapped compile wave; everything after is warm.
+    _warm_t0 = [None]
+
+    def _heartbeat(warmed, batch_wall):
+        # a terminal-compile-wave night can eat the whole attempt before
+        # the first measurement pass (observed: 330 s per first-execution
+        # compile). Emit the CUMULATIVE warm throughput (collected
+        # batches / wall since warmup start — includes every compile
+        # stall, so it can only understate the steady state) after every
+        # warm batch, so the driver ALWAYS has a line; later
+        # provisional/full lines monotonically replace it.
+        if _warm_t0[0] is None:
+            _warm_t0[0] = time.perf_counter() - batch_wall
+        done = max(0, warmed - IN_FLIGHT - 1)  # collected so far
+        wall = time.perf_counter() - _warm_t0[0]
+        if done >= 1 and wall > 0:
+            emit(done * BATCH / wall, phase="warmup_heartbeat",
+                 warm_batches=warmed)
+
     warmed = warmup_stream(stream, frames,
                            deadline=t_start + WARMUP_DEADLINE - 60,
                            warm_batches=8, field_ocr=field_ocr,
-                           min_batches=4)
+                           min_batches=4, on_batch=_heartbeat)
     early = measure_stream(stream, frames, meas_batches=3,
                            field_ocr=field_ocr,
                            deadline=t_start + SOFT_DEADLINE)
     emit(early, phase="warm_provisional", warm_batches=warmed)
     print(f"[bench] provisional emit {early:.1f} fps at {elapsed():.0f}s",
           file=sys.stderr, flush=True)
+    # the first fused batches revealed the payload-bucket operating
+    # point: dispatch the neighboring buckets (AFTER the provisional
+    # emit), unfetched and deadline-bounded, so the terminal compiles
+    # them concurrently with the rest of the warmup instead of serially
+    # inside a measurement pass (each is a first-execution terminal
+    # compile, 30-300 s on a degraded night). On a DAEMON THREAD: each
+    # dispatch costs a client lowering through the remote compile
+    # service, which occasionally hangs — the GIL drops during the RPC,
+    # so the measurement path keeps running regardless.
+    import threading as _threading
+
+    _threading.Thread(
+        target=lambda: stream.prewarm_buckets(
+            deadline=t_start + WARMUP_DEADLINE - 60
+        ),
+        daemon=True,
+    ).start()
+    mark("bucket-neighbor prewarm thread started")
 
     # ONE headline rule everywhere (round 5; advisor r4 flagged the
     # max-vs-median inconsistency): run passes until the soft deadline,

@@ -1382,11 +1382,17 @@ class BatchStream:
         q1, q2, q3, qr = segb // 8, segb // 4, segb * 3 // 8, segb
         lcm = int(np.lcm.reduce([q1, q2, q3, qr]))
         # Np bucket step: multiple of lcm(q1..qr) so every decoded view
-        # reshapes to whole rows; ~raw/8 capped at 256*lcm (r5: was 1024 —
-        # the canvas bucket pad averaged 0.34 MB/batch of zeros; a 92 KB
-        # step cuts that ~4x for a handful of extra seconds-cheap decode
-        # compiles, all persistent-cached)
-        step = lcm * max(1, min(256, raw_bytes // (8 * lcm)))
+        # reshapes to whole rows; ~raw/8 capped at 1024*lcm. A smaller
+        # step was tried in round 5 (finer buckets -> less zero pad) and
+        # REVERTED: every distinct bucket is a decode program the
+        # TERMINAL compiles at first execution per process — 150-330 s
+        # each on a degraded night (measured 2026-08-21), so bucket
+        # count IS cold-start wall time, and the bench runs died
+        # discovering buckets inside measurement passes. The coarse step
+        # keeps the steady state inside 1-2 buckets per plane (the r4
+        # driver runs' behavior); the pad is zeros, which ride the
+        # compressing link at ~2x the rate of content bytes.
+        step = lcm * max(1, min(1024, raw_bytes // (8 * lcm)))
         trailer = 3 * nseg + (nseg + 7) // 8 + (nseg + 1) // 2 + 3 * nseg
         cap = ((raw_bytes // 2 + step - 1) // step) * step + trailer
         return {
@@ -1732,6 +1738,64 @@ class BatchStream:
             ),
             self._classify(self.cls_params, self._dev_pred_crops),
         ]
+        return outs
+
+    def prewarm_buckets(self, spread: int = 1, deadline: float = None,
+                        max_programs: int = 8):
+        """Dispatch (unfetched) fused decode chains for payload-size
+        buckets NEIGHBORING the ones the stream has already discovered.
+
+        Every distinct (canvas bucket, crop bucket) pair is a program the
+        TERMINAL compiles at its first execution per process — 30-300 s
+        each on a degraded night — and the stream discovers buckets
+        lazily as content evolves, i.e. potentially inside a measurement
+        pass. Once the first fused batch reveals the operating point,
+        dispatching the +-spread neighbors (and the raw-crop variant) on
+        zero payloads lets the terminal compile them CONCURRENTLY during
+        warmup (tools/overlap_probe.py) instead of serially at first
+        use. Zero payloads decode to all-const segments, so the chains
+        are harmless; stream state is not touched. Returns the unfetched
+        outputs.
+
+        Each dispatch ALSO costs a client lowering+compile (~1-10 s,
+        serial on the caller), so the fan-out is bounded: at most
+        ``max_programs`` dispatches and an optional absolute ``deadline``
+        (time.perf_counter value) past which no further program goes
+        out."""
+        import jax.numpy as jnp
+
+        outs = []
+        for (top, nh, npc, npk) in list(self._fused_progs.keys()):
+            bufs = self._segs_bufs.get(nh)
+            cstep = bufs["step"] if bufs else None
+            nseg = self.B * nh * (self.imgsz // self._segw)
+            ctr = self.B * 3 + (nseg + 7) // 8 + (nseg + 1) // 2
+            ns = self.B * self.max_rank
+            nsegk = ns * 64
+            ktr = ns * 3 + (nsegk + 7) // 8 + (nsegk + 1) // 2
+            nk_raw = ns * 64 * 64 * 3
+            npcs = (
+                [npc + i * cstep for i in range(-spread, spread + 1)
+                 if npc + i * cstep >= cstep]
+                if cstep else [npc]
+            )
+            npks = {npk, -1}
+            for c in npcs:
+                for k in sorted(npks):
+                    if len(outs) >= max_programs or (
+                        deadline is not None
+                        and time.perf_counter() > deadline
+                    ):
+                        return outs
+                    if c == npc and k == npk:
+                        continue  # already live
+                    klen = nk_raw if k < 0 else k + ktr
+                    payload = jnp.zeros((c + ctr + klen,), jnp.uint8)
+                    fn = self._get_fused_prog(top, nh, c, k)
+                    outs.append(
+                        fn(self.det_params, self.cls_params, payload,
+                           self._dev_prev, self._dev_pred_crops)
+                    )
         return outs
 
     def submit_batch(self, frames: List[np.ndarray]) -> None:
