@@ -650,7 +650,10 @@ def run_measurement():
     # improvement streams out immediately and the watchdog keeps the best.
     if elapsed() > SOFT_DEADLINE - 60:
         slow_passes = []
-        while elapsed() < SOFT_DEADLINE + 20:
+        # ALWAYS at least one pass: a warmup that ate the whole budget
+        # previously skipped the loop entirely and the attempt ended with
+        # only the provisional line (observed 2026-08-21)
+        while not slow_passes or elapsed() < SOFT_DEADLINE + 20:
             f = measure_stream(stream, frames,
                                resync=1 if slow_passes else 0,
                                meas_batches=6, field_ocr=field_ocr,
