@@ -57,7 +57,11 @@ IN_FLIGHT = 2
 # watchdog was 2x1200 s) — so the driver allows at least ~1200 s. 720+360
 # keeps total exposure ~1100 s with margin, and attempt 1 long enough to
 # absorb a 500 s terminal compile wave (the wave varies 54-505 s run to
-# run; tools/firstexec_probe.py) and still measure.
+# run; tools/firstexec_probe.py) and still measure. Round 5 re-split to
+# 780+300 (same ~1100 s total): attempt 1 needs the extra room on
+# degraded-terminal nights (150-330 s per first-execution compile), and
+# the warmup-heartbeat emission means even a killed attempt leaves a
+# parseable line.
 ATTEMPT_TIMEOUT = int(os.environ.get("MYOLO_BENCH_ATTEMPT_TIMEOUT", "780"))
 RETRY_TIMEOUT = int(os.environ.get("MYOLO_BENCH_RETRY_TIMEOUT", "300"))
 SOFT_DEADLINE = ATTEMPT_TIMEOUT - 90  # inner: stop starting new phases here

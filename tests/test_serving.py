@@ -1048,3 +1048,41 @@ def test_seg_encode_shift_residual_classes_clip_boundary():
     expect[:, :top] = 114
     expect[:, top + nh :] = 114
     assert np.array_equal(out, expect)
+
+
+def test_prewarm_buckets_bounded_and_harmless():
+    """prewarm_buckets must register neighboring fused-bucket programs
+    (so a degraded-terminal night compiles them during warmup, not inside
+    a measurement pass), honor the max_programs bound, and leave stream
+    results IDENTICAL to an un-prewarmed stream."""
+    s = _tiny_stream(batch=2)
+    ref = _tiny_stream(batch=2)
+    rng = np.random.default_rng(9)
+    base = rng.integers(20, 236, (240, 400, 3), np.uint8)
+    batches = []
+    for t in range(3):
+        jit = rng.integers(-4, 5, (1, 1, 3), np.int16)
+        f = np.clip(base.astype(np.int16) + jit, 0, 255).astype(np.uint8)
+        f[40 + t * 4 : 60 + t * 4, 100:140] = rng.integers(
+            0, 256, (20, 40, 3), np.uint8
+        )
+        batches.append([f, f.copy()])
+    try:
+        outs = []
+        for i, b in enumerate(batches):
+            s.submit_batch(b)
+            ref.submit_batch(b)
+            outs.append((s.collect_batch(), ref.collect_batch()))
+            if i == 1 and s._fused_progs:
+                before = len(s._fused_progs)
+                res = s.prewarm_buckets(max_programs=3)
+                assert len(res) <= 3
+                assert len(s._fused_progs) >= before
+                # prewarmed outputs are real device results
+                for r in res:
+                    assert np.asarray(r[0]).size > 0
+        for got, want in outs:
+            assert got == want
+    finally:
+        s.close()
+        ref.close()
