@@ -42,7 +42,11 @@ BATCH = int(os.environ.get("MYOLO_BENCH_BATCH", "64"))
 # 26.8 fps vs 176 warm)
 WARM_BATCHES = int(os.environ.get("MYOLO_BENCH_WARM", "34"))
 MEAS_BATCHES = int(os.environ.get("MYOLO_BENCH_MEAS", "12"))
-IN_FLIGHT = 2
+# collect depth: deep enough that put/compute/fetch stages of several
+# batches overlap on high-latency tunnel nights (~0.5 s per crossing
+# measured 2026-08-21 — throughput was crossing-latency-bound, not
+# bandwidth-bound, at IN_FLIGHT=2)
+IN_FLIGHT = 4
 # Wall-clock discipline (round-2 lesson: BENCH_r02 rc=124 — the 2x1200 s
 # watchdog budget outlived the driver's deadline and a single tunnel stall
 # erased the round's number; round-3 lesson: the driver parses the LAST

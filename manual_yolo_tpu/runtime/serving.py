@@ -627,6 +627,13 @@ class BatchStream:
         if use_pallas_nms is None:
             use_pallas_nms = pallas_available()
         self.B = batch
+        # host-side pipeline depth: staging/payload buffers rotate this
+        # deep, and the dispatcher queue holds N_PIPE-3 undispatched
+        # batches — deep enough that on HIGH-LATENCY tunnel nights
+        # (measured 2026-08-21: ~0.5 s per crossing at healthy bandwidth)
+        # several batches stay in flight across the put/compute/fetch
+        # stages instead of the pipe draining between crossings
+        self.N_PIPE = 6
         self.names = names
         self.rank_names = dict(rank_names)
         self.imgsz = imgsz
@@ -645,10 +652,11 @@ class BatchStream:
         self.det_spec = det_spec
         self.cls_spec = cls_spec
         # staging pool: batch N+1 fills while N uploads on the dispatcher
-        # thread and N-1/N-2 wait in its queue (bounded at 2) — 4 buffers
-        # cover fill + upload + 2 queued
+        # thread and up to N_PIPE-3 wait in its queue — N_PIPE buffers
+        # cover fill + upload + the queued batches
         self._staging = [
-            np.full((batch, imgsz, imgsz, 3), 114, np.uint8) for _ in range(4)
+            np.full((batch, imgsz, imgsz, 3), 114, np.uint8)
+            for _ in range(self.N_PIPE)
         ]
         self._staging_i = 0
         self.delta = delta
@@ -658,11 +666,11 @@ class BatchStream:
         # one flat payload per batch = ONE device_put: post-flip every put
         # pays a ~60 ms fixed stall on top of the rate cap, so splitting
         # nibbles/biases into separate uploads would cost more than the
-        # bytes they carry. (3 buffers: staging slot N stays alive as the
-        # next submit's delta reference)
+        # bytes they carry. (staging slot N stays alive as the next
+        # submit's delta reference)
         self._nibbuf = [
             np.zeros((self._n_nib + self._n_bias,), np.uint8)
-            for _ in range(4)
+            for _ in range(self.N_PIPE)
         ]
         self._prev_staging: Optional[np.ndarray] = None
         self._prev_frames: List[Optional[np.ndarray]] = [None] * batch
@@ -905,8 +913,11 @@ class BatchStream:
         import threading
 
         # maxsize bounds undispatched batches: staging/payload buffers
-        # rotate 3-deep, so at most 2 may sit behind the one being uploaded
-        self._dispatch_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+        # rotate N_PIPE-deep, so at most N_PIPE-3 may sit behind the one
+        # being uploaded (one slot stays free for the batch being filled)
+        self._dispatch_q: "queue_mod.Queue" = queue_mod.Queue(
+            maxsize=self.N_PIPE - 3
+        )
 
         # always-on per-stage wall timings (seconds, one entry per batch):
         # submit_letterbox / submit_encode / submit_crops / submit_queue /
@@ -1452,9 +1463,11 @@ class BatchStream:
             # transfer drains — the buffer must stay untouched until then
             # (same reason the canvas path rotates 4)
             self._crop_segs_bufs = self._make_segs_bufs(
-                64, crops.shape[0] * 64, crops.size, 4
+                64, crops.shape[0] * 64, crops.size, self.N_PIPE
             )
-        self._crop_pay_i = (getattr(self, "_crop_pay_i", -1) + 1) % 4
+        self._crop_pay_i = (
+            (getattr(self, "_crop_pay_i", -1) + 1) % self.N_PIPE
+        )
         return self._encode_crop_plane_segs(
             crops, self._prev_crops, self._crop_segs_bufs, self._crop_pay_i
         )
@@ -1478,11 +1491,11 @@ class BatchStream:
         if self._pred_prev_crops is not None:
             if self._pred_segs_bufs is None:
                 self._pred_segs_bufs = self._make_segs_bufs(
-                    64, ns * 64, crops.size, 4
+                    64, ns * 64, crops.size, self.N_PIPE
                 )
             enc = self._encode_crop_plane_segs(
                 crops, self._pred_prev_crops, self._pred_segs_bufs,
-                self._staging_i % 4,
+                self._staging_i % self.N_PIPE,
             )
             if enc is not None:
                 kpay, npk = enc
@@ -1584,7 +1597,7 @@ class BatchStream:
         raw_act = self.B * nh * imgsz * 3
         bufs = self._segs_bufs.get(nh)
         if bufs is None:
-            bufs = self._make_segs_bufs(segw, nseg, raw_act, 4)
+            bufs = self._make_segs_bufs(segw, nseg, raw_act, self.N_PIPE)
             self._segs_bufs[nh] = bufs
         counts = native.seg_encode(
             staging, self._prev_staging, top, nh, segw,
@@ -1602,7 +1615,8 @@ class BatchStream:
             (nseg,) + tuple(counts)
         )
         return self._assemble_segs_payload(
-            bufs, self._staging_i % 4, counts, qs, nseg, self.B, raw_act
+            bufs, self._staging_i % self.N_PIPE, counts, qs, nseg,
+            self.B, raw_act
         )
 
     def _batch_geom(self, metas) -> Optional[Tuple[int, int]]:
