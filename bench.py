@@ -424,8 +424,13 @@ def build_field_ocr():
     eng.MIN_BUCKET = eng.MAX_CHUNK
     # bound the worst-case single-batch read flood (the content memo makes
     # reads rare after the first stream cycle; 256 keeps the cold batches
-    # under the watchdog even on a degraded-link day)
-    return FieldOCRMemo(eng, max_read_per_batch=256)
+    # under the watchdog even on a degraded-link day). async_reads: the
+    # recognizer's 2-6 put/fetch round trips per read batch ride a daemon
+    # thread instead of serializing the measured loop — on a high-latency
+    # night those crossings dominated the batch period (measured
+    # 2026-08-21); the OCR compute still happens and still shares the one
+    # host core, so it remains inside the measurement
+    return FieldOCRMemo(eng, max_read_per_batch=256, async_reads=True)
 
 
 def measure_static_stream(stream, frames, meas_batches=MEAS_BATCHES) -> float:

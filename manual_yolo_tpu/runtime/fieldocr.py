@@ -72,7 +72,8 @@ class FieldOCRMemo:
     batched call for ALL slots' changed fields) otherwise.
     """
 
-    def __init__(self, engine, pad: int = 2, max_read_per_batch: int = 512):
+    def __init__(self, engine, pad: int = 2, max_read_per_batch: int = 512,
+                 async_reads: bool = False):
         self.engine = engine
         self.pad = pad
         self.max_read_per_batch = max_read_per_batch
@@ -89,6 +90,50 @@ class FieldOCRMemo:
         self.fields_memo = 0
         self.fields_dedup = 0
         self.fields_deferred = 0
+        # async mode: recognizer reads run on a daemon thread and land in
+        # the caches when done — the NEXT batch's identical pixels memo-hit
+        # with the fresh text, so field text lags at most one batch while
+        # the caller's loop pays ZERO recognizer tunnel crossings (each
+        # read call is 2-6 put/fetch round trips; on a high-latency night
+        # that serialization dominated the whole batch period — measured
+        # 2026-08-21). Same per-frame output contract as the synchronous
+        # deferral path (`max_read_per_batch`): a field whose read is in
+        # flight carries its previous text (or empty on first sight).
+        import queue as queue_mod
+        import threading
+
+        self._lock = threading.Lock()
+        self._async_q = None
+        self._async_thread = None
+        self._async_pending = 0  # queued + in-flight read batches
+        if async_reads:
+            self._async_q = queue_mod.Queue(maxsize=2)
+
+            def _reader():
+                while True:
+                    item = self._async_q.get()
+                    if item is None:
+                        return
+                    crops, names, metas = item
+                    try:
+                        texts = self.engine.read_fields(crops, names)
+                    except Exception as e:  # degrade, keep the loop alive
+                        print(f"async field-OCR error: {e}")
+                        with self._lock:
+                            self._async_pending -= 1
+                        continue
+                    with self._lock:
+                        self.fields_read += len(crops)
+                        if len(self._content) > 200_000:
+                            self._content.clear()
+                        for (key, crop_i16, ckey, ui) in metas:
+                            text = texts[ui] or ""
+                            self._cache[key] = (crop_i16, text)
+                            self._content[ckey] = text
+                        self._async_pending -= 1
+
+            self._async_thread = threading.Thread(target=_reader, daemon=True)
+            self._async_thread.start()
 
     def process(self, frames: List[np.ndarray],
                 results: List[List[dict]]) -> int:
@@ -144,6 +189,27 @@ class FieldOCRMemo:
                 else:
                     self.fields_dedup += 1
                 refs.append((slot, di, key, crop.astype(np.int16), ckey, ui))
+        if crops and self._async_q is not None:
+            # async mode: hand the whole read batch to the reader thread;
+            # this batch's fresh fields keep their previous text (the
+            # per-slot cache fallback below) and the NEXT batch memo-hits
+            # with the completed read. A full queue defers like the
+            # synchronous overload guard.
+            import queue as queue_mod
+
+            metas = [(key, crop_i16, ckey, ui)
+                     for (_s, _d, key, crop_i16, ckey, ui) in refs]
+            try:
+                self._async_q.put_nowait((crops, names, metas))
+                with self._lock:
+                    self._async_pending += 1
+            except queue_mod.Full:
+                self.fields_deferred += len(crops)
+            for (slot, di, key, _crop_i16, _ckey, _ui) in refs:
+                hit = self._cache.get(key)
+                if hit is not None and not results[slot][di].get("ocr_text"):
+                    results[slot][di]["ocr_text"] = hit[1]
+            return 0
         if crops:
             texts = self.engine.read_fields(crops, names)
             self.fields_read += len(crops)
@@ -155,6 +221,26 @@ class FieldOCRMemo:
                 self._cache[key] = (crop_i16, text)
                 self._content[ckey] = text
         return len(crops)
+
+    def flush(self, timeout: float = 30.0) -> None:
+        """Block until queued async reads have landed in the caches
+        (no-op in synchronous mode; used by tests and orderly shutdown)."""
+        if self._async_q is None:
+            return
+        import time as time_mod
+
+        t0 = time_mod.monotonic()
+        while time_mod.monotonic() - t0 <= timeout:
+            with self._lock:
+                if self._async_pending == 0:
+                    return
+            time_mod.sleep(0.01)
+
+    def close(self) -> None:
+        if self._async_q is not None:
+            self._async_q.put(None)
+            if self._async_thread is not None:
+                self._async_thread.join(timeout=5)
 
     def stats(self) -> Dict[str, int]:
         return {

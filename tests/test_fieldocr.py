@@ -158,3 +158,49 @@ def test_bench_stream_has_localized_repaints():
     changed = resid > 20
     assert changed.any(), "no localized content delta"
     assert changed.mean() < 0.25, "deltas not localized"
+
+
+def test_async_reads_catch_up_next_batch():
+    """async_reads mode: the first sighting of a field dispatches its read
+    without blocking (text stays empty that batch); once the reader thread
+    lands, the SAME pixels memo-hit with the fresh text on the next batch.
+    The per-frame output contract (every field carries text) holds via the
+    per-slot cache for previously-seen fields."""
+    import numpy as np
+
+    from manual_yolo_tpu.runtime.fieldocr import FieldOCRMemo
+
+    calls = []
+
+    class Eng:
+        def read_fields(self, crops, names, min_confidence=0.35):
+            calls.append(len(crops))
+            return [f"T{len(calls)}-{i}" for i in range(len(crops))]
+
+    memo = FieldOCRMemo(Eng(), async_reads=True)
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, (200, 300, 3), np.uint8)
+    dets = [{"class_name": "my_stack", "class_id": 7,
+             "bbox": [40, 40, 120, 70], "conf": 0.9, "ocr_text": ""}]
+    try:
+        memo.process([frame], [dets])
+        assert dets[0]["ocr_text"] == ""  # read in flight, first sighting
+        memo.flush()
+        assert calls == [1]
+        dets2 = [dict(dets[0], ocr_text="")]
+        memo.process([frame], [dets2])
+        assert dets2[0]["ocr_text"] == "T1-0"  # memo hit with landed text
+        assert memo.fields_read == 1 and memo.fields_memo == 1
+        # changed pixels: new read dispatched, but the field still carries
+        # the PREVIOUS text this batch (per-slot cache fallback)
+        frame2 = frame.copy()
+        frame2[40:70, 40:120] = 255 - frame2[40:70, 40:120]
+        dets3 = [dict(dets[0], ocr_text="")]
+        memo.process([frame2], [dets3])
+        assert dets3[0]["ocr_text"] == "T1-0"
+        memo.flush()
+        dets4 = [dict(dets[0], ocr_text="")]
+        memo.process([frame2], [dets4])
+        assert dets4[0]["ocr_text"] == "T2-0"
+    finally:
+        memo.close()
