@@ -650,10 +650,15 @@ def run_measurement():
 
     # ONE headline rule everywhere (round 5; advisor r4 flagged the
     # max-vs-median inconsistency): run passes until the soft deadline,
-    # headline = median of the LAST 3 passes (earlier passes still carry
-    # cold-bucket compiles; the full list is recorded verbatim).
+    # headline = median of the LAST 5 passes (earlier passes still carry
+    # cold-bucket compiles; the full list is recorded verbatim). Window
+    # of 5, not 3: on stall-episode nights a single multi-second tunnel
+    # stall inside the final 3 passes biases a 3-median ~12% below the
+    # measured plateau (2026-08-21 evening: passes ended [..., 44.93,
+    # 39.54, 27.26] -> 3-median 39.54 vs plateau 42-45); 5 keeps the
+    # median on plateau unless stalls hit a majority of recent passes.
     def _headline(ps):
-        return float(np.median(ps[-3:]))
+        return float(np.median(ps[-5:]))
 
     # SLOW-WAVE FALLBACK: when the terminal compile wave ate most of the
     # attempt (it varies 54-500 s run to run), skip the rest of the warm
@@ -674,7 +679,7 @@ def run_measurement():
             slow_passes.append(round(f, 2))
             emit(_headline(slow_passes), phase="full", provisional=False,
                  field_ocr=field_ocr is not None, passes=slow_passes,
-                 partial_warm=True, value_policy="median_last3",
+                 partial_warm=True, value_policy="median_last5",
                  delta_modes=dict(stream.mode_counts),
                  ocr=field_ocr.stats() if field_ocr is not None else None)
             print(f"[bench] slow-wave pass {len(slow_passes)} {f:.1f} fps "
@@ -723,7 +728,7 @@ def run_measurement():
             provisional=False,
             field_ocr=field_ocr is not None,
             passes=[round(p, 2) for p in passes],
-            value_policy="median_last3",
+            value_policy="median_last5",
             batch_latency_ms_p50=lat_ms,
             payload_mb_per_batch=pay_mb,
             delta_modes=dict(stream.mode_counts),
@@ -767,7 +772,7 @@ def route_json_line(ln: str, full_json: list, prov_json: list) -> bool:
     whether it must be forwarded to stdout NOW. Monotone policy — the
     driver parses the LAST stdout JSON line, so: full (non-provisional)
     lines always forward (both paths emit the one headline rule:
-    median of the last 3 passes, value_policy="median_last3"); provisional
+    median of the last 5 passes, value_policy="median_last5"); provisional
     lines forward only while no full line exists AND they improve on the
     best provisional value (a colder retry must not overwrite a better
     number as the visible last line)."""
